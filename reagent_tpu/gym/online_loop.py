@@ -1,0 +1,218 @@
+"""Fused online actor-learner loop: env + policy + replay + SGD in one jit.
+
+Reference: reagent/gym/datasets/replay_buffer_dataset.py:22 — there a Python
+iterable interleaves env.step, replay insert, sampling and training_step, one
+transition at a time through the host.  TPU-native re-design: the entire loop
+body (act -> env.step -> rb.add -> sample -> train_step -> auto-reset) is a
+single ``lax.scan`` carried on device.  Host sync happens once per *run*, not
+per step — this is where the >=10x env-steps/s north-star comes from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from reagent_tpu.gym.envs.functional import FunctionalEnv
+
+Array = jax.Array
+
+
+def _unjit(f: Callable) -> Callable:
+    return getattr(f, "__wrapped__", f)
+
+
+@dataclasses.dataclass
+class OnlineLoopConfig:
+    num_steps: int
+    train_every: int = 1
+    train_after: int = 0
+    minibatch_size: int = 512
+    episode_return_buffer: int = 64  # ring of most recent episode returns
+
+
+def prefill_replay_buffer(
+    env: FunctionalEnv,
+    rb,
+    rb_state,
+    rng: Array,
+    num_steps: int,
+):
+    """Fill the buffer with uniform-random actions (ref gym/utils.py:43)."""
+
+    add_fn = _unjit(type(rb).add)
+
+    def random_action(rng):
+        if env.discrete:
+            return jax.random.randint(rng, (), 0, env.action_dim)
+        return jax.random.uniform(rng, (env.action_dim,), minval=-1.0, maxval=1.0)
+
+    def body(carry, _):
+        env_state, obs, rb_state, rng = carry
+        rng, r_act, r_step, r_reset = jax.random.split(rng, 4)
+        action = random_action(r_act)
+        env_state, next_obs, reward, done = env.step(env_state, action, r_step)
+        rb_state = add_fn(
+            rb, rb_state,
+            observation=obs, action=action, reward=reward, terminal=done,
+        )
+        # auto-reset
+        reset_state, reset_obs = env.reset(r_reset)
+        env_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), reset_state, env_state
+        )
+        next_obs = jnp.where(done, reset_obs, next_obs)
+        return (env_state, next_obs, rb_state, rng), None
+
+    rng, r0 = jax.random.split(rng)
+    env_state, obs = env.reset(r0)
+
+    @jax.jit
+    def run(env_state, obs, rb_state, rng):
+        (_, _, rb_state, _), _ = jax.lax.scan(
+            body, (env_state, obs, rb_state, rng), None, length=num_steps
+        )
+        return rb_state
+
+    return run(env_state, obs, rb_state, rng)
+
+
+def run_online_training(
+    env: FunctionalEnv,
+    trainer,
+    trainer_state,
+    rb,
+    rb_state,
+    policy_act: Callable[[Any, Array, Array], Tuple[Array, Array]],
+    batch_maker: Callable[[Dict[str, Array]], Any],
+    rng: Array,
+    config: OnlineLoopConfig,
+):
+    """Run ``num_steps`` env steps with interleaved training, fully jitted.
+
+    ``policy_act(trainer_state, obs, rng) -> (action_for_env, action_stored)``
+    returns both the env-format action (int index / continuous vector) and the
+    replay-stored format (same here; separated for flexibility).
+
+    Returns (trainer_state, rb_state, aux) where aux carries the ring of
+    recent episode returns and per-step td-loss history.
+    """
+
+    add_fn = _unjit(type(rb).add)
+    sample_fn = _unjit(type(rb).sample)
+    train_fn = _unjit(type(trainer).train_step)
+
+    K = config.episode_return_buffer
+
+    # NOTE ON STRUCTURE: no ``lax.cond`` anywhere in the scan bodies.  On the
+    # TPU backend a cond-in-scan triggers pathological compile times (measured
+    # 158s for a toy body vs 0.4s branchless).  Instead of gating training
+    # with a cond, the loop is *structurally* phased: an env-only scan covers
+    # ``train_after`` steps, then an outer scan whose body is (inner env scan
+    # of train_every steps -> one unconditional train step).
+
+    def env_body(carry, _):
+        env_state, obs, rb_state, tstate, rng, ep_ret, returns, ep_idx = carry
+        rng, r_act, r_step, r_reset = jax.random.split(rng, 4)
+
+        action_env, action_store = policy_act(tstate, obs, r_act)
+        env_state, next_obs, reward, done = env.step(env_state, action_env, r_step)
+        rb_state = add_fn(
+            rb, rb_state,
+            observation=obs, action=action_store, reward=reward, terminal=done,
+        )
+
+        # branchless episode bookkeeping + auto-reset
+        ep_ret = ep_ret + reward
+        slot = ep_idx % K
+        returns = returns.at[slot].set(jnp.where(done, ep_ret, returns[slot]))
+        ep_idx = ep_idx + done.astype(jnp.int32)
+        ep_ret = jnp.where(done, 0.0, ep_ret)
+        reset_state, reset_obs = env.reset(r_reset)
+        env_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), reset_state, env_state
+        )
+        next_obs = jnp.where(done, reset_obs, next_obs)
+        return (env_state, next_obs, rb_state, tstate, rng, ep_ret, returns, ep_idx), None
+
+    def round_body(carry, _):
+        carry, _ = jax.lax.scan(env_body, carry, None, length=config.train_every)
+        env_state, obs, rb_state, tstate, rng, ep_ret, returns, ep_idx = carry
+        rng, r_sample = jax.random.split(rng)
+        batch_dict = sample_fn(rb, rb_state, r_sample, config.minibatch_size)
+        batch = batch_maker(batch_dict)
+        tstate, metrics = train_fn(trainer, tstate, batch)
+        loss = metrics.get("td_loss", metrics.get("q1_loss"))
+        if loss is None:
+            loss = next(iter(metrics.values()))
+        carry = (env_state, obs, rb_state, tstate, rng, ep_ret, returns, ep_idx)
+        return carry, loss
+
+    num_rounds = max(0, (config.num_steps - config.train_after) // config.train_every)
+
+    rng, r0 = jax.random.split(rng)
+    env_state, obs = env.reset(r0)
+
+    @jax.jit
+    def run(env_state, obs, rb_state, trainer_state, rng):
+        carry = (
+            env_state,
+            obs,
+            rb_state,
+            trainer_state,
+            rng,
+            jnp.asarray(0.0, jnp.float32),
+            jnp.full((K,), jnp.nan, jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        if config.train_after > 0:
+            carry, _ = jax.lax.scan(env_body, carry, None, length=config.train_after)
+        carry, td_losses = jax.lax.scan(round_body, carry, None, length=num_rounds)
+        _, _, rb_state, trainer_state, _, _, returns, ep_idx = carry
+        return trainer_state, rb_state, {
+            "recent_episode_returns": returns,
+            "episodes_completed": ep_idx,
+            "td_losses": td_losses,
+        }
+
+    return run(env_state, obs, rb_state, trainer_state, rng)
+
+
+def evaluate_policy(
+    env: FunctionalEnv,
+    policy_act: Callable[[Any, Array, Array], Array],
+    trainer_state,
+    rng: Array,
+    num_episodes: int = 20,
+    max_steps: Optional[int] = None,
+) -> Array:
+    """Mean return over episodes, vectorized with vmap over parallel envs.
+
+    Reference: gym/runners/gymrunner.py:67 ``evaluate_for_n_episodes`` (an
+    mp.Pool over host processes; here a vmap over on-device envs).
+    """
+    T = max_steps or env.max_steps
+
+    def one_episode(ep_rng):
+        r0, rng = jax.random.split(ep_rng)
+        env_state, obs = env.reset(r0)
+
+        def body(carry, _):
+            env_state, obs, rng, total, alive = carry
+            rng, r_act, r_step = jax.random.split(rng, 3)
+            action = policy_act(trainer_state, obs, r_act)
+            env_state, next_obs, reward, done = env.step(env_state, action, r_step)
+            total = total + reward * alive
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (env_state, next_obs, rng, total, alive), None
+
+        (_, _, _, total, _), _ = jax.lax.scan(
+            body, (env_state, obs, rng, jnp.asarray(0.0), jnp.asarray(1.0)), None, length=T
+        )
+        return total
+
+    returns = jax.jit(jax.vmap(one_episode))(jax.random.split(rng, num_episodes))
+    return returns

@@ -1,0 +1,64 @@
+"""Replay-sample -> typed-batch makers.
+
+Reference: reagent/gym/preprocessors/trainer_preprocessor.py:32-484 — there the
+batch maker is picked by inspecting the trainer's ``train_step_gen`` type
+annotation.  Here makers are explicit pure functions passed into the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from reagent_tpu.core import types as rlt
+
+Array = jax.Array
+
+
+def make_discrete_dqn_batch(batch: Dict[str, Array], num_actions: int) -> rlt.DiscreteDqnInput:
+    """Reference: trainer_preprocessor.py DiscreteDqnInputMaker."""
+    action_idx = batch["action"].reshape(-1).astype(jnp.int32)
+    next_action_idx = batch["next_action"].reshape(-1).astype(jnp.int32)
+    B = action_idx.shape[0]
+    terminal = batch["terminal"].reshape(B, 1).astype(jnp.float32)
+    return rlt.DiscreteDqnInput(
+        state=rlt.FeatureData(float_features=batch["state"]),
+        next_state=rlt.FeatureData(float_features=batch["next_state"]),
+        action=jax.nn.one_hot(action_idx, num_actions),
+        next_action=jax.nn.one_hot(next_action_idx, num_actions),
+        reward=batch["reward"].reshape(B, 1),
+        time_diff=jnp.ones((B, 1), jnp.float32),
+        step=batch["step"].reshape(B, 1),
+        not_terminal=1.0 - terminal,
+        possible_actions_mask=batch.get(
+            "possible_actions_mask", jnp.ones((B, num_actions), jnp.float32)
+        ),
+        possible_next_actions_mask=batch.get(
+            "next_possible_actions_mask", jnp.ones((B, num_actions), jnp.float32)
+        ),
+        extras=rlt.ExtraData(),
+    )
+
+
+def make_policy_network_batch(batch: Dict[str, Array]) -> rlt.PolicyNetworkInput:
+    """Continuous-control batch (SAC/TD3), trainer_preprocessor.py PolicyNetworkInputMaker."""
+    B = batch["state"].shape[0]
+    terminal = batch["terminal"].reshape(B, 1).astype(jnp.float32)
+    action = batch["action"]
+    next_action = batch["next_action"]
+    if action.ndim == 1:
+        action = action[:, None]
+        next_action = next_action[:, None]
+    return rlt.PolicyNetworkInput(
+        state=rlt.FeatureData(float_features=batch["state"]),
+        next_state=rlt.FeatureData(float_features=batch["next_state"]),
+        action=rlt.FeatureData(float_features=action),
+        next_action=rlt.FeatureData(float_features=next_action),
+        reward=batch["reward"].reshape(B, 1),
+        time_diff=jnp.ones((B, 1), jnp.float32),
+        step=batch["step"].reshape(B, 1),
+        not_terminal=1.0 - terminal,
+        extras=rlt.ExtraData(),
+    )

@@ -1,0 +1,127 @@
+"""Optimizer tagged union over optax.
+
+Reference: reagent/optimizer/union.py:21-64 (every torch.optim.* auto-wrapped
+as a registered config dataclass) and optimizer.py:58-85
+(``make_optimizer_scheduler``).  The config contract is preserved:
+``{"Adam": {"lr": 1e-3}}`` in YAML selects and parameterizes the optimizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import optax
+
+from reagent_tpu.core.registry import OPTIMIZERS, Registry
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Base class; subclasses map 1:1 onto optax constructors."""
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        raise NotImplementedError
+
+    def make_optimizer_scheduler(self) -> optax.GradientTransformation:
+        # kept for reference-API familiarity; schedulers fold into the transform
+        return self.make_optimizer()
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Adam(OptimizerConfig):
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    amsgrad: bool = False
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        if self.weight_decay:
+            return optax.adamw(
+                self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+        if self.amsgrad:
+            return optax.amsgrad(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+        return optax.adam(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class AdamW(OptimizerConfig):
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.01
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.adamw(
+            self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+            weight_decay=self.weight_decay,
+        )
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class SGD(OptimizerConfig):
+    lr: float = 1e-2
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    nesterov: bool = False
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        opt = optax.sgd(self.lr, momentum=self.momentum or None, nesterov=self.nesterov)
+        if self.weight_decay:
+            opt = optax.chain(optax.add_decayed_weights(self.weight_decay), opt)
+        return opt
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class RMSprop(OptimizerConfig):
+    lr: float = 1e-2
+    alpha: float = 0.99
+    eps: float = 1e-8
+    momentum: float = 0.0
+    centered: bool = False
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.rmsprop(
+            self.lr, decay=self.alpha, eps=self.eps, momentum=self.momentum or None,
+            centered=self.centered,
+        )
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Adagrad(OptimizerConfig):
+    lr: float = 1e-2
+    eps: float = 1e-10
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.adagrad(self.lr, eps=self.eps)
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Lion(OptimizerConfig):
+    lr: float = 1e-4
+    betas: Tuple[float, float] = (0.9, 0.99)
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.lion(
+            self.lr, b1=self.betas[0], b2=self.betas[1], weight_decay=self.weight_decay
+        )
+
+
+def make_optimizer(config: Any) -> optax.GradientTransformation:
+    """Build an optax transform from a tagged-union config / instance / None."""
+    if config is None:
+        return optax.adam(1e-3)
+    if isinstance(config, OptimizerConfig):
+        return config.make_optimizer()
+    built = OPTIMIZERS.build(config)
+    return built.make_optimizer()
