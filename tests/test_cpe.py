@@ -1,0 +1,153 @@
+"""CPE estimator correctness (mirrors reference test/evaluation tests).
+
+Analytic ground truths: with logged propensity p_l and target propensity p_t,
+IPS = E[(p_t/p_l) r]; with a perfect reward model DM = E_pi[r]; DR is exact
+when either the model or propensities are exact.
+"""
+
+import numpy as np
+import pytest
+
+from reagent_tpu.evaluation import (
+    DoublyRobustEstimator,
+    EvaluationDataPage,
+    Evaluator,
+    SequentialDoublyRobustEstimator,
+    WeightedSequentialDoublyRobustEstimator,
+)
+from reagent_tpu.evaluation.evaluation_data_page import compute_values_for_mdps
+
+
+def _edp_bandit(N=4000, seed=0):
+    """One-step episodes. Logged: uniform; target: always action 0.
+
+    True reward: action 0 -> 1.0, action 1 -> 0.0.  Target policy value = 1.0.
+    Logged value = 0.5.
+    """
+    rng = np.random.default_rng(seed)
+    actions = rng.integers(0, 2, N)
+    action_mask = np.eye(2)[actions]
+    rewards = (actions == 0).astype(np.float64).reshape(-1, 1)
+    model_propensities = np.tile([1.0, 0.0], (N, 1))  # target: always action 0
+    model_rewards = np.tile([1.0, 0.0], (N, 1))  # perfect reward model
+    model_values = np.tile([1.0, 0.0], (N, 1))  # Q == reward (1-step)
+    return EvaluationDataPage(
+        mdp_id=np.arange(N).reshape(-1, 1),
+        sequence_number=np.zeros((N, 1)),
+        logged_propensities=np.full((N, 1), 0.5),
+        logged_rewards=rewards,
+        action_mask=action_mask,
+        model_propensities=model_propensities,
+        model_rewards=model_rewards,
+        model_rewards_for_logged_action=(action_mask * model_rewards).sum(
+            1, keepdims=True
+        ),
+        model_values=model_values,
+    )
+
+
+def test_dm_ips_dr_analytic():
+    edp = _edp_bandit()
+    dm, ips, dr = DoublyRobustEstimator().estimate(edp)
+    # true target-policy value is 1.0; logged value 0.5 -> normalized 2.0
+    assert dm.raw == pytest.approx(1.0, abs=1e-6)
+    assert ips.raw == pytest.approx(1.0, abs=0.05)
+    assert dr.raw == pytest.approx(1.0, abs=0.05)
+    assert dm.normalized == pytest.approx(2.0, rel=0.05)
+
+
+def test_ips_unbiased_under_same_policy():
+    edp = _edp_bandit()
+    # target == logged (uniform): IPS == mean logged reward
+    edp = edp.replace(model_propensities=np.full_like(edp.model_propensities, 0.5))
+    _, ips, _ = DoublyRobustEstimator().estimate(edp)
+    assert ips.raw == pytest.approx(float(edp.logged_rewards.mean()), abs=1e-6)
+    assert ips.normalized == pytest.approx(1.0, abs=1e-6)
+
+
+def test_sequential_dr_single_step_matches_dr():
+    edp = _edp_bandit(N=2000)
+    sdr = SequentialDoublyRobustEstimator(gamma=0.9).estimate(edp)
+    assert sdr.raw == pytest.approx(1.0, abs=0.05)
+
+
+def _edp_two_step(N=500, gamma=1.0):
+    """N two-step episodes, logged == target == deterministic action 0.
+
+    reward 1 at each step -> episode value 2.0 under gamma=1.
+    """
+    mdp_id = np.repeat(np.arange(N), 2).reshape(-1, 1)
+    seq = np.tile([0, 1], N).reshape(-1, 1)
+    n = 2 * N
+    action_mask = np.tile([1.0, 0.0], (n, 1))
+    model_propensities = np.tile([1.0, 0.0], (n, 1))
+    rewards = np.ones((n, 1))
+    # Q(s0, a0) = 2, Q(s1, a0) = 1 under gamma=1
+    model_values = np.zeros((n, 2))
+    model_values[0::2, 0] = 2.0
+    model_values[1::2, 0] = 1.0
+    return EvaluationDataPage(
+        mdp_id=mdp_id,
+        sequence_number=seq,
+        logged_propensities=np.ones((n, 1)),
+        logged_rewards=rewards,
+        action_mask=action_mask,
+        model_propensities=model_propensities,
+        model_rewards=model_values.copy(),
+        model_rewards_for_logged_action=(action_mask * model_values).sum(1, keepdims=True),
+        model_values=model_values,
+    )
+
+
+def test_sequential_dr_two_step_exact():
+    edp = _edp_two_step()
+    sdr = SequentialDoublyRobustEstimator(gamma=1.0).estimate(edp)
+    assert sdr.raw == pytest.approx(2.0, abs=1e-5)
+    assert sdr.normalized == pytest.approx(1.0, abs=1e-5)
+
+
+def test_magic_two_step_exact():
+    edp = _edp_two_step()
+    est = WeightedSequentialDoublyRobustEstimator(gamma=1.0).estimate(
+        edp, num_j_steps=1, whether_self_normalize_importance_weights=True
+    )
+    assert est.raw == pytest.approx(2.0, abs=1e-4)
+    magic = WeightedSequentialDoublyRobustEstimator(gamma=1.0).estimate(
+        edp, num_j_steps=3, whether_self_normalize_importance_weights=True
+    )
+    assert magic.raw == pytest.approx(2.0, abs=0.05)
+
+
+def test_compute_values_for_mdps():
+    rewards = np.array([[1.0], [1.0], [5.0]])
+    mdp_ids = np.array([[0], [0], [1]])
+    seq = np.array([[0], [1], [0]])
+    vals = compute_values_for_mdps(rewards, mdp_ids, seq, gamma=0.5)
+    np.testing.assert_allclose(vals.reshape(-1), [1.5, 1.0, 5.0])
+
+
+def test_edp_sort_and_append():
+    edp = _edp_bandit(N=10)
+    shuffled_ids = np.array([3, 1, 2, 0, 4, 9, 7, 5, 8, 6]).reshape(-1, 1)
+    edp = edp.replace(mdp_id=shuffled_ids)
+    s = edp.sort()
+    assert np.all(np.diff(s.mdp_id.reshape(-1)) >= 0)
+    both = edp.append(edp)
+    assert both.logged_rewards.shape[0] == 20
+
+
+def test_evaluator_full_suite():
+    edp = _edp_two_step(N=100)
+    evaluator = Evaluator(action_names=["a", "b"], gamma=1.0)
+    details = evaluator.evaluate_post_training(edp)
+    details.reward_estimates.check_estimates_exist()
+    assert details.reward_estimates.magic is not None
+    assert details.reward_estimates.sequential_doubly_robust.raw == pytest.approx(2.0, abs=1e-4)
+    # action stats only populated when the EDP carries q-values/action idxs
+    edp2 = edp.replace(
+        optimal_q_values=np.asarray(edp.model_values),
+        eval_action_idxs=np.zeros(edp.logged_rewards.shape[0], dtype=np.int64),
+    )
+    details2 = evaluator.evaluate_post_training(edp2)
+    assert details2.action_distribution == {"a": 1.0, "b": 0.0}
+    assert details2.q_value_means is not None
