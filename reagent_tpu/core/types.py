@@ -320,13 +320,19 @@ class PolicyNetworkInput(BaseInput):
 
 @struct.dataclass
 class PolicyGradientInput:
-    """One full episode (or a padded batch of them); reference types.py:920."""
+    """One full episode (or a padded batch of them); reference types.py:920.
+
+    ``valid_mask`` [T] marks real steps when the episode is padded to a static
+    length (an artifact of XLA static shapes; None == all valid, matching the
+    reference's exact-length episodes).
+    """
 
     state: FeatureData
     action: Array
     reward: Array
     log_prob: Array
     possible_actions_mask: Optional[Array] = None
+    valid_mask: Optional[Array] = None
 
     def batch_size(self) -> int:
         return self.state.float_features.shape[0]

@@ -107,12 +107,13 @@ def run_online_training(
 
     K = config.episode_return_buffer
 
-    # NOTE ON STRUCTURE: no ``lax.cond`` anywhere in the scan bodies.  On the
-    # TPU backend a cond-in-scan triggers pathological compile times (measured
-    # 158s for a toy body vs 0.4s branchless).  Instead of gating training
-    # with a cond, the loop is *structurally* phased: an env-only scan covers
-    # ``train_after`` steps, then an outer scan whose body is (inner env scan
-    # of train_every steps -> one unconditional train step).
+    # NOTE ON STRUCTURE: no ``lax.cond`` and no nested ``lax.scan`` anywhere.
+    # On the TPU backend both cond-in-scan and scan-in-scan trigger
+    # pathological compile times (measured 158s / 130s for toy bodies vs 0.4s
+    # flat).  Instead of gating training with a cond, the loop is
+    # *structurally* phased: a flat env-only scan covers ``train_after``
+    # steps, then a flat scan whose body statically unrolls ``train_every``
+    # env steps followed by one unconditional train step.
 
     def env_body(carry, _):
         env_state, obs, rb_state, tstate, rng, ep_ret, returns, ep_idx = carry
@@ -139,7 +140,8 @@ def run_online_training(
         return (env_state, next_obs, rb_state, tstate, rng, ep_ret, returns, ep_idx), None
 
     def round_body(carry, _):
-        carry, _ = jax.lax.scan(env_body, carry, None, length=config.train_every)
+        for _i in range(config.train_every):  # static unroll — no nested scan
+            carry, _ = env_body(carry, None)
         env_state, obs, rb_state, tstate, rng, ep_ret, returns, ep_idx = carry
         rng, r_sample = jax.random.split(rng)
         batch_dict = sample_fn(rb, rb_state, r_sample, config.minibatch_size)

@@ -15,6 +15,13 @@ from reagent_tpu.training.sac_trainer import SACTrainer, SACTrainerState
 from reagent_tpu.training.td3_trainer import TD3Trainer, TD3TrainerState
 from reagent_tpu.training.c51_trainer import C51Trainer, C51TrainerState
 from reagent_tpu.training.qrdqn_trainer import QRDQNTrainer, QRDQNTrainerState
+from reagent_tpu.training.reinforce_trainer import ReinforceTrainer, ReinforceTrainerState
+from reagent_tpu.training.ppo_trainer import PPOTrainer, PPOTrainerState
+from reagent_tpu.training.parametric_dqn_trainer import (
+    ParametricDQNTrainer,
+    ParametricDQNTrainerState,
+)
+from reagent_tpu.training.discrete_crr_trainer import CRRTrainerState, DiscreteCRRTrainer
 
 __all__ = [
     "DQNTrainer",
@@ -27,4 +34,12 @@ __all__ = [
     "C51TrainerState",
     "QRDQNTrainer",
     "QRDQNTrainerState",
+    "ReinforceTrainer",
+    "ReinforceTrainerState",
+    "PPOTrainer",
+    "PPOTrainerState",
+    "ParametricDQNTrainer",
+    "ParametricDQNTrainerState",
+    "DiscreteCRRTrainer",
+    "CRRTrainerState",
 ]
