@@ -149,11 +149,11 @@ def bench_reagent_tpu(num_steps: int = 30000) -> float:
     )
     maker = lambda d: make_discrete_dqn_batch(d, 2)
 
-    # compile warmup (excluded from timing)
-    ts2, rb2, aux = run_online_training(
+    # compile warmup with the SAME config (scan length is part of the program;
+    # the timed second invocation then measures pure steady-state throughput)
+    tstate, rb_state, aux = run_online_training(
         env, trainer, tstate, rb, rb_state, policy_act, maker,
-        jax.random.PRNGKey(1),
-        OnlineLoopConfig(num_steps=64, minibatch_size=512),
+        jax.random.PRNGKey(1), cfg,
     )
     jax.block_until_ready(aux["episodes_completed"])
 
