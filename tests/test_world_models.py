@@ -1,0 +1,160 @@
+"""World-model tests: MDN-RNN, Seq2Reward, CEM planner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reagent_tpu.core import types as rlt
+from reagent_tpu.core.parameters import MDNRNNTrainerParameters, Seq2RewardTrainerParameters
+from reagent_tpu.models.cem_planner import CEMPlannerNetwork
+from reagent_tpu.models.dqn import FullyConnectedDQN
+from reagent_tpu.models.mdn_rnn import MemoryNetwork, gmm_loss
+from reagent_tpu.models.seq2reward_model import Seq2RewardNetwork, gen_permutations, get_Q
+from reagent_tpu.training.cem_trainer import CEMTrainer
+from reagent_tpu.training.world_model import (
+    CompressModelTrainer,
+    MDNRNNTrainer,
+    Seq2RewardTrainer,
+)
+
+T, B, S, A = 6, 8, 3, 2
+
+
+def _mn_batch(seed=0, valid=True):
+    rng = np.random.default_rng(seed)
+    mk = lambda shape: jnp.asarray(rng.normal(size=shape), jnp.float32)
+    return rlt.MemoryNetworkInput(
+        state=rlt.FeatureData(float_features=mk((T, B, S))),
+        next_state=rlt.FeatureData(float_features=mk((T, B, S))),
+        action=rlt.FeatureData(float_features=jax.nn.one_hot(jnp.asarray(rng.integers(0, A, (T, B))), A)),
+        reward=mk((T, B)),
+        time_diff=jnp.ones((T, B)),
+        step=None,
+        not_terminal=jnp.ones((T, B)),
+        valid_step=jnp.full((B, 1), T, jnp.int32) if valid else None,
+    )
+
+
+def test_gmm_loss_analytic():
+    # single gaussian, mu=0 sigma=1: -log N(0) = 0.5*log(2pi) per dim
+    batch = jnp.zeros((1, 1, 2))
+    mus = jnp.zeros((1, 1, 1, 2))
+    sigmas = jnp.ones((1, 1, 1, 2))
+    logpi = jnp.zeros((1, 1, 1))
+    loss = float(gmm_loss(batch, mus, sigmas, logpi))
+    assert loss == pytest.approx(0.5 * np.log(2 * np.pi) * 2, rel=1e-5)
+
+
+def test_mdnrnn_trainer_loss_decreases():
+    net = MemoryNetwork(state_dim=S, action_dim=A, num_hiddens=16, num_hidden_layers=1, num_gaussians=2)
+    trainer = MDNRNNTrainer(net, MDNRNNTrainerParameters(learning_rate=3e-3))
+    batch = _mn_batch()
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(60):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # output shapes
+    out = net.apply(state.params, batch.state, batch.action)
+    assert out.mus.shape == (T, B, 2, S)
+    assert out.reward.shape == (T, B)
+
+
+def test_seq2reward_trainer_fits_acc_reward():
+    net = Seq2RewardNetwork(state_dim=S, action_dim=A, num_hiddens=16, num_hidden_layers=1)
+    trainer = Seq2RewardTrainer(
+        net, Seq2RewardTrainerParameters(learning_rate=1e-2, multi_steps=T, gamma=1.0)
+    )
+    batch = _mn_batch()
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(150):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["mse_loss"]))
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(float(m["step_entropy_loss"]))
+
+
+def test_gen_permutations_and_get_q():
+    perms = gen_permutations(seq_len=2, num_action=2)
+    assert perms.shape == (2, 4, 2)
+    # lexical order: [0,0], [0,1], [1,0], [1,1]
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(perms, -1)).T, [[0, 0], [0, 1], [1, 0], [1, 1]])
+
+    net = Seq2RewardNetwork(state_dim=S, action_dim=A, num_hiddens=8, num_hidden_layers=1)
+    state = jnp.zeros((3, S))
+    params = net.init(
+        jax.random.PRNGKey(0),
+        rlt.FeatureData(float_features=jnp.zeros((2, 1, S))),
+        rlt.FeatureData(float_features=jnp.zeros((2, 1, A))),
+    )
+    q = get_Q(net, params, state, perms)
+    assert q.shape == (3, A)
+
+
+def test_compress_model_trainer():
+    s2r = Seq2RewardNetwork(state_dim=S, action_dim=A, num_hiddens=8, num_hidden_layers=1)
+    batch = _mn_batch()
+    s2r_params = s2r.init(jax.random.PRNGKey(0), batch.state, batch.action)
+    compress_net = FullyConnectedDQN(state_dim=S, action_dim=A, sizes=[16], activations=["relu"])
+    trainer = CompressModelTrainer(
+        compress_net, s2r,
+        Seq2RewardTrainerParameters(compress_model_learning_rate=1e-2, multi_steps=3),
+    )
+    state = trainer.init(jax.random.PRNGKey(1), jnp.zeros((1, S)))
+    losses = []
+    for _ in range(80):
+        state, m = trainer.train_step(state, batch, seq2reward_params=s2r_params)
+        losses.append(float(m["mse_loss"]))
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_cem_planner_discrete():
+    net = MemoryNetwork(state_dim=S, action_dim=A, num_hiddens=8, num_hidden_layers=1, num_gaussians=1)
+    proto_s = rlt.FeatureData(float_features=jnp.zeros((1, 1, S)))
+    proto_a = rlt.FeatureData(float_features=jnp.zeros((1, 1, A)))
+    params_list = [
+        net.init(jax.random.PRNGKey(i), proto_s, proto_a) for i in range(2)
+    ]
+    planner = CEMPlannerNetwork(
+        mem_net=net, mem_net_params_list=params_list,
+        cem_num_iterations=2, cem_population_size=16, ensemble_population_size=2,
+        num_elites=4, plan_horizon_length=3, state_dim=S, action_dim=A,
+        discrete_action=True, terminal_effective=False, gamma=0.99,
+    )
+    best, onehot = planner(
+        rlt.FeatureData(float_features=jnp.zeros((1, S))), jax.random.PRNGKey(0)
+    )
+    assert 0 <= best < A
+    assert float(onehot[best]) == 1.0
+
+
+def test_cem_planner_continuous():
+    net = MemoryNetwork(state_dim=S, action_dim=1, num_hiddens=8, num_hidden_layers=1, num_gaussians=1)
+    proto_s = rlt.FeatureData(float_features=jnp.zeros((1, 1, S)))
+    proto_a = rlt.FeatureData(float_features=jnp.zeros((1, 1, 1)))
+    params_list = [net.init(jax.random.PRNGKey(0), proto_s, proto_a)]
+    planner = CEMPlannerNetwork(
+        mem_net=net, mem_net_params_list=params_list,
+        cem_num_iterations=2, cem_population_size=16, ensemble_population_size=1,
+        num_elites=4, plan_horizon_length=2, state_dim=S, action_dim=1,
+        discrete_action=False, terminal_effective=True, gamma=0.99,
+        action_upper_bounds=np.array([2.0]), action_lower_bounds=np.array([-2.0]),
+    )
+    action = planner(
+        rlt.FeatureData(float_features=jnp.zeros((1, S))), jax.random.PRNGKey(0)
+    )
+    assert action.shape == (1,)
+    assert -1.0 <= float(action[0]) <= 1.0  # rescaled to training range
+
+
+def test_cem_trainer_ensemble():
+    net = MemoryNetwork(state_dim=S, action_dim=A, num_hiddens=8, num_hidden_layers=1, num_gaussians=1)
+    trainers = [MDNRNNTrainer(net, MDNRNNTrainerParameters(learning_rate=1e-3)) for _ in range(2)]
+    cem = CEMTrainer(None, trainers)
+    batch = _mn_batch()
+    states = cem.init(jax.random.PRNGKey(0), batch)
+    states, metrics = cem.train_step(states, batch)
+    assert "wm0_loss" in metrics and "wm1_loss" in metrics
