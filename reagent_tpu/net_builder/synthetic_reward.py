@@ -1,0 +1,130 @@
+"""Synthetic-reward net builders (reference: net_builder/synthetic_reward/)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from reagent_tpu.core.parameters import NormalizationData
+from reagent_tpu.core.registry import SYNTHETIC_REWARD_NET_BUILDERS
+from reagent_tpu.models.synthetic_reward import (
+    NGramFullyConnectedNetwork,
+    SequenceSyntheticRewardNet,
+    SingleStepSyntheticRewardNet,
+    SyntheticRewardNet,
+    TransformerSyntheticRewardNet,
+)
+from reagent_tpu.net_builder.base import state_dim_of
+
+
+@SYNTHETIC_REWARD_NET_BUILDERS.register()
+@dataclasses.dataclass
+class SingleStepSyntheticReward:
+    sizes: List[int] = dataclasses.field(default_factory=lambda: [64, 32])
+    activations: List[str] = dataclasses.field(default_factory=lambda: ["relu", "relu"])
+    last_layer_activation: str = "linear"
+
+    def build_synthetic_reward_network(
+        self,
+        state_normalization_data: Optional[NormalizationData],
+        action_normalization_data: Optional[NormalizationData] = None,
+        discrete_action_names: Optional[List[str]] = None,
+        state_dim: Optional[int] = None,
+        action_dim: Optional[int] = None,
+    ) -> SyntheticRewardNet:
+        sd = state_dim_of(state_normalization_data, state_dim)
+        ad = (
+            len(discrete_action_names)
+            if discrete_action_names
+            else state_dim_of(action_normalization_data, action_dim)
+        )
+        return SyntheticRewardNet(
+            net=SingleStepSyntheticRewardNet(
+                state_dim=sd, action_dim=ad, sizes=list(self.sizes),
+                activations=list(self.activations),
+                last_layer_activation=self.last_layer_activation,
+            )
+        )
+
+
+@SYNTHETIC_REWARD_NET_BUILDERS.register()
+@dataclasses.dataclass
+class NGramSyntheticReward:
+    sizes: List[int] = dataclasses.field(default_factory=lambda: [64, 32])
+    activations: List[str] = dataclasses.field(default_factory=lambda: ["relu", "relu"])
+    context_size: int = 3
+    last_layer_activation: str = "linear"
+
+    def build_synthetic_reward_network(
+        self, state_normalization_data=None, action_normalization_data=None,
+        discrete_action_names=None, state_dim=None, action_dim=None,
+    ) -> SyntheticRewardNet:
+        sd = state_dim_of(state_normalization_data, state_dim)
+        ad = (
+            len(discrete_action_names)
+            if discrete_action_names
+            else state_dim_of(action_normalization_data, action_dim)
+        )
+        return SyntheticRewardNet(
+            net=NGramFullyConnectedNetwork(
+                state_dim=sd, action_dim=ad, sizes=list(self.sizes),
+                activations=list(self.activations), context_size=self.context_size,
+                last_layer_activation=self.last_layer_activation,
+            )
+        )
+
+
+@SYNTHETIC_REWARD_NET_BUILDERS.register()
+@dataclasses.dataclass
+class SequenceSyntheticReward:
+    lstm_hidden_size: int = 64
+    lstm_num_layers: int = 1
+    last_layer_activation: str = "linear"
+
+    def build_synthetic_reward_network(
+        self, state_normalization_data=None, action_normalization_data=None,
+        discrete_action_names=None, state_dim=None, action_dim=None,
+    ) -> SyntheticRewardNet:
+        sd = state_dim_of(state_normalization_data, state_dim)
+        ad = (
+            len(discrete_action_names)
+            if discrete_action_names
+            else state_dim_of(action_normalization_data, action_dim)
+        )
+        return SyntheticRewardNet(
+            net=SequenceSyntheticRewardNet(
+                state_dim=sd, action_dim=ad,
+                lstm_hidden_size=self.lstm_hidden_size,
+                lstm_num_layers=self.lstm_num_layers,
+                last_layer_activation=self.last_layer_activation,
+            )
+        )
+
+
+@SYNTHETIC_REWARD_NET_BUILDERS.register()
+@dataclasses.dataclass
+class TransformerSyntheticReward:
+    d_model: int = 64
+    nhead: int = 1
+    num_encoder_layers: int = 2
+    dim_feedforward: int = 128
+    last_layer_activation: str = "linear"
+
+    def build_synthetic_reward_network(
+        self, state_normalization_data=None, action_normalization_data=None,
+        discrete_action_names=None, state_dim=None, action_dim=None,
+    ) -> SyntheticRewardNet:
+        sd = state_dim_of(state_normalization_data, state_dim)
+        ad = (
+            len(discrete_action_names)
+            if discrete_action_names
+            else state_dim_of(action_normalization_data, action_dim)
+        )
+        return SyntheticRewardNet(
+            net=TransformerSyntheticRewardNet(
+                state_dim=sd, action_dim=ad, d_model=self.d_model, nhead=self.nhead,
+                num_encoder_layers=self.num_encoder_layers,
+                dim_feedforward=self.dim_feedforward,
+                last_layer_activation=self.last_layer_activation,
+            )
+        )

@@ -1,0 +1,216 @@
+"""Predictor wrappers: preprocessor + network fused into one exportable fn.
+
+Reference: reagent/prediction/predictor_wrapper.py — DiscreteDqnWithPreprocessor
+(:94), DiscreteDqnPredictorWrapper (:117), parametric (:214) and actor (:260)
+variants.
+
+Export format (framework-free, consumed by serving/ C++ scorer too):
+  <dir>/manifest.json   — model_type, action_names, normalization spec,
+                          layer shapes + activations
+  <dir>/weights.bin     — float32 little-endian [W1 | b1 | W2 | b2 | ...]
+                          (row-major W: [in, out])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reagent_tpu.core.parameters import NormalizationData
+from reagent_tpu.preprocessing.normalization import serialize
+from reagent_tpu.preprocessing.preprocessor import Preprocessor
+
+Array = jax.Array
+
+
+def _extract_dense_layers(params) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Collect (kernel, bias) pairs in traversal order from a flax params tree."""
+    layers: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and "bias" in node:
+                layers.append(
+                    (np.asarray(node["kernel"]), np.asarray(node["bias"]))
+                )
+            else:
+                for key in sorted(node.keys(), key=_layer_sort_key):
+                    walk(node[key])
+
+    root = params["params"] if "params" in params else params
+    walk(root)
+    return layers
+
+
+def _layer_sort_key(name: str):
+    import re
+
+    m = re.search(r"_(\d+)$", name)
+    return (re.sub(r"_\d+$", "", name), int(m.group(1)) if m else -1)
+
+
+class DiscreteDqnWithPreprocessor:
+    """Pure fn: raw (values, presence) -> q-values (reference :94-116)."""
+
+    def __init__(self, q_network, q_params, state_preprocessor: Preprocessor):
+        self.q_network = q_network
+        self.q_params = q_params
+        self.preprocessor = state_preprocessor
+        self._fn = jax.jit(self._forward)
+
+    def _forward(self, values: Array, presence: Array) -> Array:
+        obs = self.preprocessor(values, presence)
+        return self.q_network.apply(self.q_params, obs)
+
+    def __call__(self, values: Array, presence: Array) -> Array:
+        return self._fn(values, presence)
+
+
+class DiscreteDqnPredictorWrapper:
+    """Reference :117-150: named-action scoring + export."""
+
+    def __init__(
+        self,
+        dqn_with_preprocessor: DiscreteDqnWithPreprocessor,
+        action_names: Sequence[str],
+        activations: Optional[Sequence[str]] = None,
+    ):
+        self.model = dqn_with_preprocessor
+        self.action_names = list(action_names)
+        self.activations = list(activations) if activations else None
+
+    def __call__(self, values: Array, presence: Array) -> Tuple[List[str], Array]:
+        return self.action_names, self.model(values, presence)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        layers = _extract_dense_layers(self.model.q_params)
+        manifest: Dict[str, Any] = {
+            "model_type": "discrete_dqn",
+            "action_names": self.action_names,
+            "normalization": {
+                str(k): v
+                for k, v in serialize(
+                    self.model.preprocessor.normalization_parameters
+                ).items()
+            },
+            "sorted_features": self.model.preprocessor.sorted_features,
+            "layers": [
+                {"in": int(k.shape[0]), "out": int(k.shape[1])} for k, _ in layers
+            ],
+            "activations": self.activations
+            or (["relu"] * (len(layers) - 1) + ["linear"]),
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        blob = b"".join(
+            np.ascontiguousarray(a, np.float32).tobytes()
+            for k, b in layers
+            for a in (k, b)
+        )
+        with open(os.path.join(path, "weights.bin"), "wb") as f:
+            f.write(blob)
+
+    @staticmethod
+    def load(path: str):
+        """Rebuild a pure numpy forward fn from an exported artifact."""
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        raw = np.fromfile(os.path.join(path, "weights.bin"), np.float32)
+        layers = []
+        off = 0
+        for spec in manifest["layers"]:
+            k = raw[off : off + spec["in"] * spec["out"]].reshape(spec["in"], spec["out"])
+            off += spec["in"] * spec["out"]
+            b = raw[off : off + spec["out"]]
+            off += spec["out"]
+            layers.append((k, b))
+
+        from reagent_tpu.preprocessing.normalization import deserialize
+
+        norm = deserialize(manifest["normalization"])
+        pre = Preprocessor(norm)
+        acts = manifest["activations"]
+
+        def forward(values, presence):
+            x = np.asarray(pre(jnp.asarray(values), jnp.asarray(presence)))
+            for (k, b), act in zip(layers, acts):
+                x = x @ k + b
+                if act == "relu":
+                    x = np.maximum(x, 0)
+                elif act == "leaky_relu":
+                    x = np.where(x > 0, x, 0.01 * x)
+                elif act == "tanh":
+                    x = np.tanh(x)
+            return manifest["action_names"], x
+
+        return forward
+
+
+class ParametricDqnWithPreprocessor:
+    """Reference :214-250."""
+
+    def __init__(
+        self, q_network, q_params,
+        state_preprocessor: Preprocessor, action_preprocessor: Preprocessor,
+    ):
+        self.q_network = q_network
+        self.q_params = q_params
+        self.state_preprocessor = state_preprocessor
+        self.action_preprocessor = action_preprocessor
+        self._fn = jax.jit(self._forward)
+
+    def _forward(self, sv, sp, av, ap):
+        s = self.state_preprocessor(sv, sp)
+        a = self.action_preprocessor(av, ap)
+        return self.q_network.apply(self.q_params, s, a)
+
+    def __call__(self, sv, sp, av, ap):
+        return self._fn(sv, sp, av, ap)
+
+
+class ParametricDqnPredictorWrapper:
+    def __init__(self, dqn_with_preprocessor: ParametricDqnWithPreprocessor):
+        self.model = dqn_with_preprocessor
+
+    def __call__(self, sv, sp, av, ap) -> Tuple[List[str], Array]:
+        return ["Q"], self.model(sv, sp, av, ap)
+
+
+class ActorWithPreprocessor:
+    """Reference :260-300: actor + state preprocessor (+ action rescaling)."""
+
+    def __init__(
+        self, actor_network, actor_params, state_preprocessor: Preprocessor,
+        action_postprocessor=None,
+    ):
+        self.actor_network = actor_network
+        self.actor_params = actor_params
+        self.preprocessor = state_preprocessor
+        self.action_postprocessor = action_postprocessor
+        self._fn = jax.jit(self._forward)
+
+    def _forward(self, values, presence):
+        obs = self.preprocessor(values, presence)
+        out = self.actor_network.apply(self.actor_params, obs)
+        action = out.action
+        if self.action_postprocessor is not None:
+            action = self.action_postprocessor(action)
+        return action
+
+    def __call__(self, values, presence):
+        return self._fn(values, presence)
+
+
+class ActorPredictorWrapper:
+    def __init__(self, actor_with_preprocessor: ActorWithPreprocessor, action_feature_ids: Optional[List[int]] = None):
+        self.model = actor_with_preprocessor
+        self.action_feature_ids = action_feature_ids or []
+
+    def __call__(self, values, presence) -> Array:
+        return self.model(values, presence)
