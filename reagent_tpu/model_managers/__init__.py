@@ -1,0 +1,6 @@
+"""Model managers: per-algorithm orchestration (reference: reagent/model_managers/)."""
+
+from reagent_tpu.model_managers.discrete_dqn import DiscreteDQN
+from reagent_tpu.model_managers.model_manager import ModelManager
+
+__all__ = ["ModelManager", "DiscreteDQN"]

@@ -1,0 +1,120 @@
+"""Offline E2E pipeline: random data -> timeline -> train -> eval.
+
+Mirrors the reference CI job ``dqn_cartpole_e2e`` (4-command CLI pipeline,
+passing_score_bar 120 from discrete_dqn_cartpole_offline.yaml:55).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from reagent_tpu.data.data_module import TableSpec
+from reagent_tpu.data.timeline import multi_step_timeline_transform, timeline_transform
+from reagent_tpu.workflow.gym_batch_rl import (
+    evaluate_gym,
+    offline_gym_random,
+    timeline_operator,
+)
+from reagent_tpu.workflow.training import identify_and_train_network
+
+
+def _toy_logged_df():
+    rows = []
+    for mdp in range(3):
+        for t in range(4):
+            rows.append(
+                {
+                    "ds": "2026-01-01",
+                    "mdp_id": str(mdp),
+                    "sequence_number": t * 2,  # gaps -> time_diff 2
+                    "state_features": {0: float(mdp), 1: float(t)},
+                    "action": str(t % 2),
+                    "reward": 1.0,
+                    "action_probability": 0.5,
+                    "possible_actions": ["0", "1"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_timeline_transform_contract():
+    df = _toy_logged_df()
+    out = timeline_transform(df, shuffle=False)
+    assert len(out) == 12
+    ep0 = out[out.mdp_id == "0"].sort_values("sequence_number")
+    # adjacent-pair shift
+    assert ep0.iloc[0]["next_state_features"] == {0: 0.0, 1: 1.0}
+    assert ep0.iloc[0]["next_action"] == "1"
+    assert ep0.iloc[0]["time_diff"] == 2
+    assert list(ep0["sequence_number_ordinal"]) == [1, 2, 3, 4]
+    assert list(ep0["time_since_first"]) == [0, 2, 4, 6]
+    # terminal row
+    last = ep0.iloc[-1]
+    assert last["not_terminal"] == 0
+    assert last["next_state_features"] == {}
+    assert last["possible_next_actions"] == []
+
+
+def test_multi_step_timeline():
+    df = _toy_logged_df()
+    out = multi_step_timeline_transform(df, multi_steps=2, shuffle=False)
+    ep0 = out[out.mdp_id == "0"].sort_values("sequence_number")
+    first = ep0.iloc[0]
+    assert len(first["next_state_features"]) == 2
+    assert first["reward"] == [1.0, 1.0]
+    assert first["not_terminal"] == 1
+    # second-to-last has horizon 1 and is terminal-reaching
+    penult = ep0.iloc[-2]
+    assert len(penult["next_state_features"]) == 1
+    assert penult["not_terminal"] == 0
+
+
+@pytest.mark.slow
+def test_dqn_cartpole_offline_e2e(tmp_path):
+    pkl = str(tmp_path / "pre_timeline.pkl")
+    table = str(tmp_path / "table.pkl")
+    out_dir = str(tmp_path / "model_out")
+
+    # 1. collect random transitions (reference offline_gym_random)
+    offline_gym_random(
+        env_name="CartPole-v1", pkl_path=pkl,
+        num_train_transitions=12000, max_steps=200, seed=1,
+    )
+    # 2. timeline operator
+    spec = TableSpec(table_name="cartpole", path=table, table_sample=90.0, eval_table_sample=10.0)
+    timeline_operator(pkl, spec)
+    # 3. train
+    model_config = {
+        "DiscreteDQN": {
+            "trainer_param": {
+                "actions": ["0", "1"],
+                "rl": {"gamma": 0.99, "target_update_rate": 0.2, "maxq_learning": True},
+                "double_q_learning": True,
+                "minibatch_size": 512,
+                "optimizer": {"Adam": {"lr": 0.01}},
+            },
+            "net_builder": {
+                "FullyConnected": {
+                    "sizes": [128, 64], "activations": ["leaky_relu", "leaky_relu"]
+                }
+            },
+            "eval_parameters": {"calc_cpe_in_training": True},
+        }
+    }
+    result = identify_and_train_network(
+        input_table_spec=spec, model=model_config, num_epochs=25, output_dir=out_dir,
+    )
+    assert "default_model" in result.output_paths
+    assert result.training_report.td_loss is not None
+    cpe = result.training_report.cpe_details
+    assert cpe is not None, "CPE should run on the eval split"
+    assert np.isfinite(cpe.reward_estimates.direct_method.raw)
+    # 4. evaluate the exported artifact in the real env against the bar
+    mean_reward = evaluate_gym(
+        env_name="CartPole-v1",
+        model_path=result.output_paths["default_model"],
+        num_eval_episodes=20,
+        passing_score_bar=120.0,
+        max_steps=200,
+    )
+    print(f"offline e2e mean eval reward: {mean_reward}")
