@@ -1,0 +1,22 @@
+"""Reporters: per-algorithm metric aggregation (reference: reagent/reporting/)."""
+
+from reagent_tpu.reporting.reporter_base import CompoundReporter, ReporterBase
+from reagent_tpu.reporting.reporters import (
+    ActorCriticReporter,
+    DiscreteDQNReporter,
+    ParametricDQNReporter,
+    SlateQReporter,
+    TD3Reporter,
+    WorldModelReporter,
+)
+
+__all__ = [
+    "ReporterBase",
+    "CompoundReporter",
+    "DiscreteDQNReporter",
+    "ActorCriticReporter",
+    "TD3Reporter",
+    "ParametricDQNReporter",
+    "SlateQReporter",
+    "WorldModelReporter",
+]

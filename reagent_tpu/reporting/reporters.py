@@ -1,0 +1,55 @@
+"""Per-algorithm reporters (reference: reagent/reporting/*.py)."""
+
+from __future__ import annotations
+
+from reagent_tpu.core.tracker import MeanAggregator, ValueListObserver
+from reagent_tpu.reporting.reporter_base import ReporterBase
+
+
+def _mk(keys):
+    return {
+        "value_list_observers": {"cpe_details": ValueListObserver("cpe_details")},
+        "aggregating_observers": {k: MeanAggregator(k) for k in keys},
+    }
+
+
+class DiscreteDQNReporter(ReporterBase):
+    """Reference: reporting/discrete_dqn_reporter.py."""
+
+    def __init__(self):
+        kw = _mk(
+            [
+                "td_loss", "reward_loss", "q_values_mean", "q_taken_mean",
+                "reward_mean", "cpe_td_loss",
+            ]
+        )
+        super().__init__(**kw)
+
+
+class ActorCriticReporter(ReporterBase):
+    """Reference: reporting/actor_critic_reporter.py."""
+
+    def __init__(self):
+        super().__init__(
+            **_mk(["q1_loss", "q2_loss", "actor_loss", "alpha_loss", "value_loss"])
+        )
+
+
+class TD3Reporter(ReporterBase):
+    def __init__(self):
+        super().__init__(**_mk(["q1_loss", "q2_loss", "actor_loss", "target_q_mean"]))
+
+
+class ParametricDQNReporter(ReporterBase):
+    def __init__(self):
+        super().__init__(**_mk(["td_loss", "reward_loss", "q_mean"]))
+
+
+class SlateQReporter(ReporterBase):
+    def __init__(self):
+        super().__init__(**_mk(["td_loss", "q_mean"]))
+
+
+class WorldModelReporter(ReporterBase):
+    def __init__(self):
+        super().__init__(**_mk(["loss", "gmm", "bce", "mse"]))
