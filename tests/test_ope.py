@@ -1,0 +1,174 @@
+"""OPE library tests (mirrors reference test_ope_integration.py style)."""
+
+import numpy as np
+import pytest
+
+from reagent_tpu.ope.estimators.contextual_bandits_estimators import (
+    BanditsEstimatorInput,
+    DMEstimator,
+    DoublyRobustEstimator,
+    IPSEstimator,
+    SwitchDREstimator,
+    SwitchEstimator,
+)
+from reagent_tpu.ope.estimators.estimator import Evaluator
+from reagent_tpu.ope.estimators.sequential_estimators import (
+    RLEstimatorInput,
+)
+from reagent_tpu.ope.estimators.sequential_estimators import (
+    DMEstimator as SeqDM,
+    DoublyRobustEstimator as SeqDR,
+    IPSEstimator as SeqIPS,
+    MAGICEstimator,
+    NeuralDualDICE,
+)
+from reagent_tpu.ope.estimators.slate_estimators import (
+    IPSEstimator as SlateIPS,
+    PBMEstimator,
+    PseudoInverseEstimator,
+    SlateEstimatorInput,
+)
+from reagent_tpu.ope.test.gridworld import GridWorld, generate_logs
+from reagent_tpu.ope.trainers.rl_tabular_trainers import (
+    DPTrainer,
+    DPValueFunction,
+    TabularPolicy,
+)
+from reagent_tpu.ope.trainers.linear_trainers import LinearTrainer, TrainingData
+
+
+def _bandit_input(N=8000, seed=0):
+    """Logged: 70/30; target: always arm1. True values: arm0=0.2, arm1=0.8."""
+    rng = np.random.default_rng(seed)
+    actions = rng.choice(2, N, p=[0.7, 0.3])
+    true_r = np.array([0.2, 0.8])
+    rewards = (rng.uniform(size=N) < true_r[actions]).astype(float)
+    return BanditsEstimatorInput(
+        log_action=actions,
+        log_reward=rewards,
+        log_propensities=np.tile([0.7, 0.3], (N, 1)),
+        tgt_propensities=np.tile([0.0, 1.0], (N, 1)),
+        dm_rewards=np.tile(true_r, (N, 1)),
+        ground_truth_reward=0.8,
+    )
+
+
+@pytest.mark.parametrize(
+    "est_cls", [DMEstimator, IPSEstimator, DoublyRobustEstimator, SwitchEstimator, SwitchDREstimator]
+)
+def test_bandit_estimators_recover_truth(est_cls):
+    inp = _bandit_input()
+    res = est_cls().evaluate(inp)
+    assert res.estimated_reward == pytest.approx(0.8, abs=0.05), est_cls.__name__
+
+
+def test_evaluator_runs_experiments():
+    exps = [([DMEstimator(), IPSEstimator()], _bandit_input(seed=s)) for s in range(3)]
+    results = Evaluator(exps).evaluate()
+    assert set(results) == {"DMEstimator", "IPSEstimator"}
+    bias, rmse, mean = results["IPSEstimator"].report()
+    assert abs(bias) < 0.05
+
+
+def _gridworld_setup(gamma=0.9):
+    world = GridWorld(size=3)
+    tgt_policy = TabularPolicy(world.num_actions, epsilon=0.1)
+    DPTrainer(world, tgt_policy).train(gamma=gamma)
+    log_policy = TabularPolicy(world.num_actions, epsilon=0.6)
+    for s in world.states:
+        # log policy: noisy version of optimal
+        log_policy.update(s, int(np.argmax(tgt_policy.action_dist(s))))
+    value_fn = DPValueFunction(tgt_policy, world, gamma)
+    value_fn.evaluate()
+    gt = value_fn.state_value((0, 0))
+    logs = generate_logs(
+        world, log_policy, tgt_policy, value_fn,
+        num_episodes=300, max_steps=12, gamma=gamma,
+    )
+    logs.ground_truth_reward = gt
+    return logs, gt
+
+
+def test_sequential_estimators_on_gridworld():
+    logs, gt = _gridworld_setup()
+    for est in (SeqDM(), SeqIPS(), SeqDR(), MAGICEstimator(num_j_steps=6)):
+        res = est.evaluate(logs)
+        assert res.estimated_reward == pytest.approx(gt, abs=0.25), type(est).__name__
+
+
+@pytest.mark.slow
+def test_neural_dualdice_on_gridworld():
+    logs, gt = _gridworld_setup()
+    est = NeuralDualDICE(
+        state_dim=logs.states.shape[2], num_actions=4, training_samples=800
+    )
+    res = est.evaluate(logs)
+    # DICE is noisy; just demand the right ballpark + finiteness
+    assert np.isfinite(res.estimated_reward)
+    assert res.estimated_reward == pytest.approx(gt, abs=max(1.0, 0.8 * abs(gt)))
+
+
+def test_slate_estimators():
+    rng = np.random.default_rng(0)
+    N, K, M = 4000, 2, 4
+    log_probs = np.tile(np.full(M, 1.0 / M), (N, K, 1))
+    # target prefers item 0 at slot 0
+    tgt = np.tile(np.full(M, 1.0 / M), (N, K, 1))
+    tgt[:, 0, :] = [0.7, 0.1, 0.1, 0.1]
+    slates = rng.integers(0, M, (N, K))
+    # reward: 1 if item 0 shown at slot 0
+    rewards = (slates[:, 0] == 0).astype(float)
+    inp = SlateEstimatorInput(
+        log_slate=slates,
+        log_reward=rewards,
+        log_item_probs=log_probs,
+        tgt_item_probs=tgt,
+        position_weights=np.array([1.0, 0.5]),
+        ground_truth_reward=0.7,
+    )
+    ips = SlateIPS().evaluate(inp)
+    assert ips.estimated_reward == pytest.approx(0.7, abs=0.08)
+    pi = PseudoInverseEstimator().evaluate(inp)
+    assert pi.estimated_reward == pytest.approx(0.7, abs=0.08)
+    pbm = PBMEstimator().evaluate(inp)
+    assert np.isfinite(pbm.estimated_reward)
+
+
+def test_linear_trainer():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 3))
+    w = np.array([1.0, -2.0, 0.5])
+    y = x @ w
+    t = LinearTrainer(alpha=1e-6)
+    t.train(TrainingData(train_x=x, train_y=y))
+    np.testing.assert_allclose(t.predict(x[:5]), y[:5], atol=1e-2)
+
+
+def test_ope_adapter_parity_with_cpe():
+    """The OPE DR adapter should roughly agree with the evaluation-side DR
+    (mirrors reference test_ope_integration.py)."""
+    from reagent_tpu.evaluation import DoublyRobustEstimator as CpeDR
+    from reagent_tpu.evaluation.evaluation_data_page import EvaluationDataPage
+    from reagent_tpu.evaluation.ope_adapter import OPEstimatorAdapter
+
+    rng = np.random.default_rng(0)
+    N = 4000
+    actions = rng.choice(2, N, p=[0.7, 0.3])
+    mask = np.eye(2)[actions]
+    true_r = np.array([0.2, 0.8])
+    rewards = (rng.uniform(size=N) < true_r[actions]).astype(float).reshape(-1, 1)
+    edp = EvaluationDataPage(
+        mdp_id=np.arange(N).reshape(-1, 1),
+        sequence_number=np.zeros((N, 1)),
+        logged_propensities=np.where(actions == 0, 0.7, 0.3).reshape(-1, 1),
+        logged_rewards=rewards,
+        action_mask=mask,
+        model_propensities=np.tile([0.0, 1.0], (N, 1)),
+        model_rewards=np.tile(true_r, (N, 1)),
+        model_rewards_for_logged_action=(mask * true_r).sum(1, keepdims=True),
+        model_values=np.tile(true_r, (N, 1)),
+    )
+    _, _, cpe_dr = CpeDR().estimate(edp)
+    ope_dr = OPEstimatorAdapter(DoublyRobustEstimator()).estimate(edp)
+    assert ope_dr.raw == pytest.approx(cpe_dr.raw, abs=0.02)
+    assert ope_dr.raw == pytest.approx(0.8, abs=0.05)
