@@ -1,0 +1,167 @@
+"""Tests: gradient-free, multi-stage, cfeval, checkpointing, reporting, BC/reward nets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reagent_tpu.core import types as rlt
+from reagent_tpu.core.parameters import EvolutionParameters
+from reagent_tpu.models import FullyConnectedDQN
+from reagent_tpu.parallel import make_mesh
+from reagent_tpu.reporting import DiscreteDQNReporter
+from reagent_tpu.training.behavioral_cloning_trainer import BehavioralCloningTrainer
+from reagent_tpu.training.cfeval import BanditRewardNetTrainer, BayesByBackpropTrainer
+from reagent_tpu.training.cfeval.bayes_by_backprop_trainer import BayesianMLP
+from reagent_tpu.training.gradient_free import ARSOptimizer, EsWorker, EvolutionPool
+from reagent_tpu.training.multi_stage_trainer import MultiStageTrainer
+from reagent_tpu.training.reward_network_trainer import RewardNetTrainer
+from reagent_tpu.utils.checkpointing import restore_checkpoint, save_checkpoint
+
+
+def test_evolution_pool_optimizes_quadratic():
+    es = EvolutionParameters(population_size=64, mutation_power=0.3, learning_rate=0.05)
+    pool = EvolutionPool(seed=0, es_params=es, tensor_sizes={"w": [3]})
+    target = jnp.array([1.0, -2.0, 0.5])
+
+    def reward_fn(ind):
+        return -jnp.sum((ind["w"] - target) ** 2)
+
+    for it in range(150):
+        rewards = pool.compute_all_local_rewards(reward_fn)
+        pool.apply_global_reward(rewards, it + 1)
+    final = np.asarray(pool.parent_tensors["w"])
+    np.testing.assert_allclose(final, np.asarray(target), atol=0.4)
+
+
+def test_es_worker_psum_matches_local():
+    es = EvolutionParameters(population_size=8, mutation_power=0.3, learning_rate=0.05)
+    pool = EvolutionPool(seed=0, es_params=es, tensor_sizes={"w": [2]})
+    mesh = make_mesh(8)
+    worker = EsWorker(pool, es, mesh)
+
+    def reward_fn(ind):
+        return -jnp.sum(ind["w"] ** 2)
+
+    mean_r = worker.run_epoch(reward_fn, 0)
+    assert np.isfinite(mean_r)
+
+
+def test_ars_optimizer():
+    opt = ARSOptimizer(feature_dim=2, n_pert=8, alpha=0.5, noise=0.5)
+    target = np.array([2.0, -1.0])
+    for _ in range(60):
+        pairs = opt.sample_perturbed_params()
+        rewards = []
+        for pos, neg in pairs:
+            rewards.append(-np.sum((pos - target) ** 2))
+            rewards.append(-np.sum((neg - target) ** 2))
+        opt.update_ars_params(np.array(rewards))
+    np.testing.assert_allclose(opt.ars_params, target, atol=0.5)
+
+
+def _bc_batch(B=32, seed=0):
+    rng = np.random.default_rng(seed)
+    obs = rng.normal(size=(B, 4)).astype(np.float32)
+    labels = (obs[:, 0] > 0).astype(int)  # action depends on feature 0
+    return rlt.BehavioralCloningModelInput(
+        state=rlt.FeatureData(float_features=jnp.asarray(obs)),
+        action=jax.nn.one_hot(jnp.asarray(labels), 2),
+    )
+
+
+def test_behavioral_cloning_learns():
+    net = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[16], activations=["relu"])
+    trainer = BehavioralCloningTrainer(net, optimizer={"Adam": {"lr": 1e-2}})
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    for i in range(100):
+        state, m = trainer.train_step(state, _bc_batch(seed=i % 5))
+    assert float(m["accuracy"]) > 0.9
+
+
+def test_bandit_reward_net_trainer():
+    net = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[16], activations=["relu"])
+    trainer = BanditRewardNetTrainer(net, optimizer={"Adam": {"lr": 1e-2}})
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    rng = np.random.default_rng(0)
+    B = 64
+    actions = rng.integers(0, 2, B)
+    batch = rlt.BanditRewardModelInput(
+        state=rlt.FeatureData(float_features=jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)),
+        action=jax.nn.one_hot(jnp.asarray(actions), 2),
+        reward=jnp.asarray(actions.astype(np.float32)),  # reward == action id
+        action_prob=jnp.full((B, 1), 0.5),
+    )
+    losses = []
+    for _ in range(150):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.2
+
+
+def test_bayes_by_backprop():
+    net = BayesianMLP(in_dim=6, hidden=16, out_dim=1)
+    trainer = BayesByBackpropTrainer(net, optimizer={"Adam": {"lr": 1e-2}})
+    rng = np.random.default_rng(0)
+    B = 64
+    actions = rng.integers(0, 2, B)
+    batch = rlt.BanditRewardModelInput(
+        state=rlt.FeatureData(float_features=jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)),
+        action=jax.nn.one_hot(jnp.asarray(actions), 2),
+        reward=jnp.asarray(actions.astype(np.float32)),
+    )
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+    losses = []
+    for _ in range(100):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["nll"]))
+    assert losses[-1] < losses[0]
+    mean, std = trainer.predict_with_uncertainty(state, jnp.zeros((3, 6)))
+    assert mean.shape == (3, 1) and np.all(np.asarray(std) >= 0)
+
+
+def test_multi_stage_trainer():
+    class Stub:
+        def __init__(self, name):
+            self.name = name
+
+        def init(self):
+            return {"n": 0}
+
+        def train_step(self, state, batch):
+            return {"n": state["n"] + 1}, {"who": self.name}
+
+    ms = MultiStageTrainer([Stub("a"), Stub("b")], epochs=[2, 3])
+    states = ms.init_all()
+    assert ms.total_epochs == 5
+    for epoch in range(5):
+        states, m = ms.train_step(states, None, epoch)
+    assert states[0]["n"] == 2 and states[1]["n"] == 3
+    assert ms.stage_for_epoch(0) == 0 and ms.stage_for_epoch(2) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.training import DQNTrainer
+
+    q = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[8], activations=["relu"])
+    trainer = DQNTrainer(q_network=q, rl=RLParameters(), optimizer={"Adam": {"lr": 1e-3}})
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    zero_state = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_checkpoint(path, zero_state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_reporter_aggregation():
+    r = DiscreteDQNReporter()
+    for i in range(5):
+        r.log(td_loss=float(i), q_values_mean=1.0)
+    out = r.flush(epoch=0)
+    assert out["td_loss"] == pytest.approx(2.0)
+    assert out["q_values_mean"] == pytest.approx(1.0)
+    assert r.flush(epoch=1) == {}  # aggregators reset after flush
