@@ -42,6 +42,37 @@ def make_discrete_dqn_batch(batch: Dict[str, Array], num_actions: int) -> rlt.Di
     )
 
 
+def make_parametric_dqn_batch(
+    batch: Dict[str, Array], num_actions: int
+) -> rlt.ParametricDqnInput:
+    """Discrete env -> parametric batch: actions become one-hot feature vectors
+    and possible-actions are all actions tiled (trainer_preprocessor.py
+    ParametricDqnInputMaker)."""
+    action_idx = batch["action"].reshape(-1).astype(jnp.int32)
+    next_action_idx = batch["next_action"].reshape(-1).astype(jnp.int32)
+    B = action_idx.shape[0]
+    terminal = batch["terminal"].reshape(B, 1).astype(jnp.float32)
+    eye = jnp.eye(num_actions)
+    tiled_actions = jnp.tile(eye, (B, 1))  # [B*A, A]
+    return rlt.ParametricDqnInput(
+        state=rlt.FeatureData(float_features=batch["state"]),
+        next_state=rlt.FeatureData(float_features=batch["next_state"]),
+        action=rlt.FeatureData(float_features=jax.nn.one_hot(action_idx, num_actions)),
+        next_action=rlt.FeatureData(
+            float_features=jax.nn.one_hot(next_action_idx, num_actions)
+        ),
+        possible_actions=rlt.FeatureData(float_features=tiled_actions),
+        possible_actions_mask=jnp.ones((B, num_actions)),
+        possible_next_actions=rlt.FeatureData(float_features=tiled_actions),
+        possible_next_actions_mask=jnp.ones((B, num_actions)),
+        reward=batch["reward"].reshape(B, 1),
+        time_diff=jnp.ones((B, 1), jnp.float32),
+        step=batch["step"].reshape(B, 1),
+        not_terminal=1.0 - terminal,
+        extras=rlt.ExtraData(),
+    )
+
+
 def make_policy_network_batch(batch: Dict[str, Array]) -> rlt.PolicyNetworkInput:
     """Continuous-control batch (SAC/TD3), trainer_preprocessor.py PolicyNetworkInputMaker."""
     B = batch["state"].shape[0]
