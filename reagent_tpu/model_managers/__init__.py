@@ -1,6 +1,8 @@
 """Model managers: per-algorithm orchestration (reference: reagent/model_managers/)."""
 
 from reagent_tpu.model_managers.discrete_dqn import DiscreteDQN
+from reagent_tpu.model_managers.discrete_crr import DiscreteCRR
+from reagent_tpu.model_managers.parametric_dqn import ParametricDQN
 from reagent_tpu.model_managers.model_manager import ModelManager
 
-__all__ = ["ModelManager", "DiscreteDQN"]
+__all__ = ["ModelManager", "DiscreteDQN", "DiscreteCRR", "ParametricDQN"]

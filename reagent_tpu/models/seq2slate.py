@@ -64,7 +64,7 @@ def subsequent_mask(size: int) -> Array:
 def per_symbol_to_per_seq_probs(per_symbol_probs: Array, tgt_out_idx: Array) -> Array:
     """Product of chosen-symbol probs along the sequence (ref utils.py:150)."""
     probs = jnp.take_along_axis(per_symbol_probs, tgt_out_idx[:, :, None], axis=2)[..., 0]
-    return jnp.clip(jnp.prod(probs, axis=1, keepdims=True), 1e-40)
+    return jnp.clip(jnp.prod(probs, axis=1, keepdims=True), 1e-35)
 
 
 def per_symbol_to_per_seq_log_probs(per_symbol_log_probs: Array, tgt_out_idx: Array) -> Array:
@@ -352,7 +352,7 @@ class Seq2SlateTransformerModel(nn.Module):
             if greedy:
                 nxt = jnp.argmax(probs, axis=1)
             else:
-                logits = jnp.log(jnp.clip(probs, 1e-40)) / self.temperature
+                logits = jnp.log(jnp.clip(probs, 1e-35)) / self.temperature
                 nxt = jax.random.categorical(r, logits, axis=1)
             tgt_in_idx_buf = jax.vmap(
                 lambda buf, i, v: buf.at[i].set(v), in_axes=(0, None, 0)
@@ -377,7 +377,7 @@ class Seq2SlateTransformerModel(nn.Module):
         probs = self.decode(memory, state, tgt_in_idx, tgt_in_seq)
         if mode == Seq2SlateMode.PER_SYMBOL_LOG_PROB_DIST_MODE.value:
             return Seq2SlateTransformerOutput(
-                per_symbol_log_probs=jnp.log(jnp.clip(probs, 1e-40))
+                per_symbol_log_probs=jnp.log(jnp.clip(probs, 1e-35))
             )
         per_seq_log_probs = jnp.log(per_symbol_to_per_seq_probs(probs, tgt_out_idx))
         return Seq2SlateTransformerOutput(per_seq_log_probs=per_seq_log_probs)

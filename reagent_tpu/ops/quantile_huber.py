@@ -1,0 +1,52 @@
+"""Pairwise quantile-huber loss as a Pallas kernel (QR-DQN hot op).
+
+The QR-DQN loss forms a [B, N, N] pairwise TD tensor (target atoms x current
+atoms; reference qrdqn_trainer.py:150-156).  For large atom counts the
+materialized pairwise tensor is pure HBM traffic; the kernel tiles over the
+batch and keeps each [N, N] block in VMEM, emitting only the per-sample loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def quantile_huber_loss(
+    target_q: Array,   # [B, N] target quantile samples
+    current_q: Array,  # [B, N] current quantile estimates
+    kappa: float = 1.0,
+    block_b: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """Returns the mean quantile-huber loss (scalar)."""
+    B, N = target_q.shape
+    taus = ((jnp.arange(N) + 0.5) / N).astype(jnp.float32)
+
+    def kernel(t_ref, c_ref, tau_ref, o_ref):
+        t = t_ref[:].astype(jnp.float32)  # [bb, N]
+        c = c_ref[:].astype(jnp.float32)
+        td = t[:, :, None] - c[:, None, :]  # [bb, N_t, N_c]
+        a = jnp.abs(td)
+        huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
+        weight = jnp.abs(tau_ref[:][None, None, :] - (td < 0).astype(jnp.float32))
+        o_ref[:] = jnp.mean(huber * weight, axis=(1, 2))
+
+    bb = min(block_b, B)
+    per_sample = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(B, bb),),
+        in_specs=[
+            pl.BlockSpec((bb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B,), jnp.float32),
+        interpret=interpret,
+    )(target_q, current_q, taus)
+    return jnp.mean(per_sample)

@@ -124,7 +124,7 @@ class Seq2SlateTrainer:
                 tgt_in_seq=batch.tgt_in_seq.float_features,
             ).per_seq_log_probs
             model_propensities = jnp.exp(log_probs)
-            impt_smpl = model_propensities / jnp.clip(logged_propensities, 1e-40)
+            impt_smpl = model_propensities / jnp.clip(logged_propensities, 1e-35)
             clamped = ips_clamp(impt_smpl, self.params.ips_clamp)
             obj_loss = jnp.mean(-clamped * (reward - b))
             return obj_loss, (impt_smpl, clamped)

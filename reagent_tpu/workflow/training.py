@@ -119,7 +119,12 @@ def train_workflow(
     bs = minibatch_size or manager._param.minibatch_size
 
     state_dim = manager.state_dim(normalization_data_map)
-    trainer_state = trainer.init(jax.random.PRNGKey(seed), jnp.zeros((1, state_dim)))
+    if hasattr(manager, "init_trainer_state"):
+        trainer_state = manager.init_trainer_state(
+            trainer, jax.random.PRNGKey(seed), state_dim
+        )
+    else:
+        trainer_state = trainer.init(jax.random.PRNGKey(seed), jnp.zeros((1, state_dim)))
 
     t0 = time.perf_counter()
     last_loss = None
@@ -127,7 +132,10 @@ def train_workflow(
         for batch_df in iterate_minibatches(train_df, bs, seed=seed + epoch):
             batch = batch_preprocessor(batch_df)
             trainer_state, metrics = trainer.train_step(trainer_state, batch)
-        last_loss = float(metrics["td_loss"])
+        loss_key = "td_loss" if "td_loss" in metrics else (
+            "q1_loss" if "q1_loss" in metrics else next(iter(metrics))
+        )
+        last_loss = float(metrics[loss_key])
         logger.info("epoch %d td_loss=%.4f", epoch, last_loss)
     logger.info("training took %.1fs", time.perf_counter() - t0)
 
@@ -145,7 +153,10 @@ def train_workflow(
     )
     os.makedirs(output_dir, exist_ok=True)
     model_path = os.path.join(output_dir, "serving_model")
-    serving.save(model_path)
+    if hasattr(serving, "save"):
+        serving.save(model_path)
+    else:
+        model_path = ""
     return RLTrainingOutput(
         output_paths={"default_model": model_path}, training_report=report
     )
