@@ -192,6 +192,7 @@ class RecSimState:
     doc_quality: Array  # [num_candidates]
     t: Array
     budget: Array
+    last_clicked: Array = None  # slate position clicked last step, -1 = no click
 
 
 class RecSimSlate:
@@ -232,6 +233,7 @@ class RecSimSlate:
             doc_quality=quality,
             t=jnp.zeros((), jnp.int32),
             budget=jnp.asarray(float(self.max_steps)),
+            last_clicked=jnp.asarray(-1, jnp.int32),
         )
         return state, self._obs(state)
 
@@ -246,13 +248,15 @@ class RecSimSlate:
         """slate: [slate_size] candidate indices."""
         r_choice, r_next = jax.random.split(rng)
         slate_docs = state.docs[slate]  # [S, T]
-        scores = slate_docs @ state.user_interest  # [S]
+        scores = 3.0 * (slate_docs @ state.user_interest)  # [S] sharpened choice
         # no-click option has score 0
         logits = jnp.concatenate([scores, jnp.zeros(1)])
         choice = jax.random.categorical(r_choice, logits)
         clicked = choice < self.slate_size
         doc_idx = jnp.where(clicked, slate[jnp.minimum(choice, self.slate_size - 1)], 0)
-        watch_time = jnp.where(clicked, state.doc_quality[doc_idx], 0.0)
+        # watch time scales with both quality and interest alignment
+        alignment = jax.nn.sigmoid(2.0 * state.docs[doc_idx] @ state.user_interest)
+        watch_time = jnp.where(clicked, state.doc_quality[doc_idx] * (0.5 + alignment), 0.0)
         # interest drift toward the clicked doc
         drift = jnp.where(clicked, 0.1, 0.0)
         new_interest = state.user_interest + drift * (
@@ -262,6 +266,7 @@ class RecSimSlate:
         t = state.t + 1
         done = jnp.logical_or(budget <= 0, t >= self.max_steps)
         new_state = state.replace(
-            user_interest=new_interest, t=t, budget=budget
+            user_interest=new_interest, t=t, budget=budget,
+            last_clicked=jnp.where(clicked, choice, -1).astype(jnp.int32),
         )
         return new_state, self._obs(new_state), watch_time.astype(jnp.float32), done

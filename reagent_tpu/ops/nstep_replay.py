@@ -36,40 +36,49 @@ def nstep_rewards(
     """
     capacity = rewards.shape[0]
     B = indices.shape[0]
+    # Mosaic lowers 1-D gathers only up to one lane-row of indices: tile the
+    # batch into 128-wide grid blocks (measured: B=128 take OK, B=512 not).
+    BLOCK = 128 if B % 128 == 0 else B
     decays = (gamma ** jnp.arange(horizon)).astype(jnp.float32)
 
     def kernel(idx_ref, rew_ref, term_ref, dec_ref, out_r, out_s, out_t):
-        # horizon is small and static: unroll per-step 1-D gathers
-        # (Mosaic supports 1-D take; a [B, H] fancy gather does not lower)
-        idx = idx_ref[:]  # [B]
-        rw_cols, tm_cols = [], []
+        # horizon is small and static: unroll per-step 1-D gathers and keep
+        # every op strictly 1-D arithmetic (Mosaic rejects [B, H] fancy
+        # gathers, stacks of gathered columns, and take_along_axis here)
+        idx = idx_ref[:]  # [BLOCK]
+        acc_r = jnp.zeros((BLOCK,), jnp.float32)
+        alive = jnp.ones((BLOCK,), jnp.float32)  # 1 until (and incl.) first terminal
+        steps = jnp.zeros((BLOCK,), jnp.int32)
+        term_at_step = jnp.zeros((BLOCK,), jnp.float32)
         for k in range(horizon):
             wk = (idx + k) % capacity
-            rw_cols.append(jnp.take(rew_ref[:], wk, axis=0))
-            tm_cols.append(jnp.take(term_ref[:], wk, axis=0).astype(jnp.float32))
-        rw = jnp.stack(rw_cols, axis=1)  # [B, H]
-        tm = jnp.stack(tm_cols, axis=1)
-        offs = jax.lax.broadcasted_iota(jnp.int32, (B, horizon), 1)
-        # first terminal within horizon -> steps
-        tm_last = tm.at[:, horizon - 1].set(1.0)
-        steps = jnp.argmax(tm_last > 0, axis=1).astype(jnp.int32) + 1
-        mask = (offs < steps[:, None]).astype(jnp.float32)
-        out_r[:] = jnp.sum(rw * dec_ref[:][None, :] * mask, axis=1)
+            rk = jnp.take(rew_ref[:], wk, axis=0)
+            tk = jnp.take(term_ref[:], wk, axis=0).astype(jnp.float32)
+            if k == horizon - 1:
+                tk_eff = jnp.ones_like(tk)  # horizon cap counts as final step
+            else:
+                tk_eff = tk
+            acc_r = acc_r + alive * (gamma ** k) * rk  # static decay
+            steps = steps + alive.astype(jnp.int32)
+            term_at_step = jnp.where(alive * tk > 0, 1.0, term_at_step)
+            alive = alive * (1.0 - tk_eff)
+        out_r[:] = acc_r
         out_s[:] = steps
-        out_t[:] = (jnp.take_along_axis(tm, (steps - 1)[:, None], axis=1)[:, 0] > 0)
+        out_t[:] = term_at_step > 0
 
     return pl.pallas_call(
         kernel,
+        grid=(B // BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # indices
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rewards (fits VMEM up to ~4M)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # terminals
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # decays
+            pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),  # indices
+            pl.BlockSpec((capacity,), lambda i: (0,), memory_space=pltpu.VMEM),  # rewards
+            pl.BlockSpec((capacity,), lambda i: (0,), memory_space=pltpu.VMEM),  # terminals
+            pl.BlockSpec((horizon,), lambda i: (0,), memory_space=pltpu.VMEM),  # decays
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B,), jnp.float32),

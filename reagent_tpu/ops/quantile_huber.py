@@ -28,13 +28,20 @@ def quantile_huber_loss(
     taus = ((jnp.arange(N) + 0.5) / N).astype(jnp.float32)
 
     def kernel(t_ref, c_ref, tau_ref, o_ref):
+        # strictly 2-D: loop over target atoms (static N), accumulating the
+        # [bb, N_current] pairwise slice — Mosaic rejects the 3-D pairwise
+        # tensor formulation
         t = t_ref[:].astype(jnp.float32)  # [bb, N]
         c = c_ref[:].astype(jnp.float32)
-        td = t[:, :, None] - c[:, None, :]  # [bb, N_t, N_c]
-        a = jnp.abs(td)
-        huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
-        weight = jnp.abs(tau_ref[:][None, None, :] - (td < 0).astype(jnp.float32))
-        o_ref[:] = jnp.mean(huber * weight, axis=(1, 2))
+        tau = tau_ref[:]  # [N]
+        acc = jnp.zeros_like(c)
+        for k in range(N):
+            td = t[:, k][:, None] - c  # [bb, N]
+            a = jnp.abs(td)
+            huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
+            weight = jnp.abs(tau[None, :] - (td < 0).astype(jnp.float32))
+            acc = acc + huber * weight
+        o_ref[:] = jnp.sum(acc, axis=1) / (N * N)
 
     bb = min(block_b, B)
     per_sample = pl.pallas_call(
