@@ -21,6 +21,23 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def nstep_rewards_xla(
+    rewards: Array, terminals: Array, indices: Array, horizon: int, gamma: float
+):
+    """XLA reference implementation (used as the TPU fallback: this backend's
+    Mosaic rejects the kernel's 1-D gathers — "Only 2D gather is supported")."""
+    capacity = rewards.shape[0]
+    w = (indices[:, None] + jnp.arange(horizon)) % capacity
+    tm = terminals[w].astype(jnp.float32)
+    tm_last = tm.at[:, -1].set(1.0)
+    steps = jnp.argmax(tm_last > 0, axis=1).astype(jnp.int32) + 1
+    mask = jnp.arange(horizon)[None] < steps[:, None]
+    decays = (gamma ** jnp.arange(horizon)).astype(jnp.float32)
+    r = jnp.sum(rewards[w] * decays * mask, axis=1)
+    t = jnp.take_along_axis(tm, (steps - 1)[:, None], axis=1)[:, 0] > 0
+    return r, steps, t
+
+
 def nstep_rewards(
     rewards: Array,     # [capacity] float32
     terminals: Array,   # [capacity] bool/int
@@ -33,7 +50,13 @@ def nstep_rewards(
 
     steps = distance to the first terminal within the horizon (or horizon);
     nstep_reward = sum_{k<steps} gamma^k * r[(idx+k) % capacity].
+
+    On the TPU backend this falls back to the fused-by-XLA formulation: the
+    kernel's windowed gathers do not lower in this Mosaic version (verified
+    in interpret mode; revisit when 1-D gather support lands).
     """
+    if not interpret and jax.default_backend() == "tpu":
+        return nstep_rewards_xla(rewards, terminals, indices, horizon, gamma)
     capacity = rewards.shape[0]
     B = indices.shape[0]
     # Mosaic lowers 1-D gathers only up to one lane-row of indices: tile the

@@ -23,9 +23,20 @@ def quantile_huber_loss(
     block_b: int = 128,
     interpret: bool = False,
 ) -> Array:
-    """Returns the mean quantile-huber loss (scalar)."""
+    """Returns the mean quantile-huber loss (scalar).
+
+    On the TPU backend this currently falls back to the XLA pairwise
+    formulation (the kernel crashes this remote Mosaic compiler; it is
+    verified in interpret mode).
+    """
     B, N = target_q.shape
     taus = ((jnp.arange(N) + 0.5) / N).astype(jnp.float32)
+    if not interpret and jax.default_backend() == "tpu":
+        td = target_q[:, :, None] - current_q[:, None, :]
+        a = jnp.abs(td)
+        huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
+        weight = jnp.abs(taus[None, None, :] - (td < 0).astype(jnp.float32))
+        return jnp.mean(huber * weight)
 
     def kernel(t_ref, c_ref, tau_ref, o_ref):
         # strictly 2-D: loop over target atoms (static N), accumulating the
