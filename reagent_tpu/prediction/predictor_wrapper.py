@@ -214,3 +214,92 @@ class ActorPredictorWrapper:
 
     def __call__(self, values, presence) -> Array:
         return self.model(values, presence)
+
+    def save(self, path: str) -> None:
+        """Pickle artifact: normalization spec + flax actor module + params.
+
+        The discrete-DQN artifact is framework-free (manifest+weights) for the
+        C++ scorer; actors (Gaussian mean head, tanh squash) carry structure a
+        flat MLP blob can't, so they export as a python-loadable artifact
+        (reference exports TorchScript here; predictor_wrapper.py:260-300).
+        """
+        import pickle
+
+        os.makedirs(path, exist_ok=True)
+        manifest = {"model_type": "actor"}
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        payload = {
+            "normalization": serialize(self.model.preprocessor.normalization_parameters),
+            "module": self.model.actor_network,
+            "params": jax.tree_util.tree_map(np.asarray, self.model.actor_params),
+        }
+        with open(os.path.join(path, "actor.pkl"), "wb") as f:
+            pickle.dump(payload, f)
+
+    @staticmethod
+    def load(path: str):
+        """Rebuild a forward fn producing the greedy/mean action."""
+        import pickle
+
+        with open(os.path.join(path, "actor.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        from reagent_tpu.preprocessing.normalization import deserialize
+
+        pre = Preprocessor(deserialize(payload["normalization"]))
+        module, params = payload["module"], payload["params"]
+
+        @jax.jit
+        def _fwd(values, presence):
+            obs = pre(values, presence)
+            out = module.apply(params, obs)
+            return out.action
+
+        def forward(values, presence):
+            return np.asarray(_fwd(jnp.asarray(values), jnp.asarray(presence)))
+
+        return forward
+
+
+def load_predictor(path: str):
+    """Load any exported artifact by its manifest model_type.
+
+    Returns a callable taking a sparse feature dict {fid: value} (single row)
+    and returning the model head (scores for DQN, action for actors).
+    """
+    with open(os.path.join(path, "manifest.json")) as f:
+        model_type = json.load(f).get("model_type", "discrete_dqn")
+    if model_type == "actor":
+        fwd = ActorPredictorWrapper.load(path)
+
+        def predict_actor(features: Dict[int, float]):
+            fids = sorted(int(k) for k in features)
+            # dense row in the preprocessor's sorted-feature order
+            import pickle
+
+            with open(os.path.join(path, "actor.pkl"), "rb") as f:
+                payload = pickle.load(f)
+            from reagent_tpu.preprocessing.normalization import deserialize
+
+            pre = Preprocessor(deserialize(payload["normalization"]))
+            values = np.array(
+                [[features.get(f, 0.0) for f in pre.sorted_features]], np.float32
+            )
+            presence = np.array(
+                [[f in features for f in pre.sorted_features]], np.bool_
+            )
+            return fwd(values, presence)
+
+        return type("Predictor", (), {"predict": staticmethod(predict_actor)})()
+    fwd = DiscreteDqnPredictorWrapper.load(path)
+
+    def predict_dqn(features: Dict[int, float]):
+        with open(os.path.join(path, "manifest.json")) as f:
+            sorted_features = json.load(f)["sorted_features"]
+        values = np.array(
+            [[features.get(f, 0.0) for f in sorted_features]], np.float32
+        )
+        presence = np.array([[f in features for f in sorted_features]], np.bool_)
+        return fwd(values, presence)
+
+    return type("Predictor", (), {"predict": staticmethod(predict_dqn)})()

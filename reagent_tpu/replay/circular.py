@@ -220,14 +220,33 @@ class ReplayBuffer:
     ) -> Array:
         """Uniform over valid indices, static-shape (ref :588-602).
 
-        Inverse-CDF over the validity mask: O(capacity) cumsum + searchsorted,
-        fully on-device, no host sync, no dynamic shapes.
+        Two-level inverse CDF: a cumsum over per-block validity counts picks
+        the block, then a [B, block] prefix-sum picks the offset — replacing
+        the O(capacity) flat cumsum in the per-step hot path with
+        O(capacity/block + B*block) work.  Exactly uniform.
         """
-        valid_f = state.is_valid.astype(jnp.int32)
-        csum = jnp.cumsum(valid_f)
-        total = csum[-1]
+        cap = self._capacity
+        block = 256
+        if cap % block != 0 or cap <= block:
+            valid_f = state.is_valid.astype(jnp.int32)
+            csum = jnp.cumsum(valid_f)
+            total = csum[-1]
+            picks = jax.random.randint(rng, (batch_size,), 0, jnp.maximum(total, 1))
+            return jnp.searchsorted(csum, picks + 1).astype(jnp.int32) % cap
+
+        v = state.is_valid.astype(jnp.int32).reshape(cap // block, block)
+        block_counts = jnp.sum(v, axis=1)  # [nb]
+        bc = jnp.cumsum(block_counts)
+        total = bc[-1]
         picks = jax.random.randint(rng, (batch_size,), 0, jnp.maximum(total, 1))
-        return jnp.searchsorted(csum, picks + 1).astype(jnp.int32) % self._capacity
+        blk = jnp.searchsorted(bc, picks + 1).astype(jnp.int32)
+        blk = jnp.minimum(blk, cap // block - 1)
+        # rank of the pick within its block
+        within = picks - (bc[blk] - block_counts[blk])  # [B], 0-based
+        rows = v[blk]  # [B, block]
+        rowc = jnp.cumsum(rows, axis=1)
+        offs = jnp.argmax(rowc >= (within + 1)[:, None], axis=1).astype(jnp.int32)
+        return blk * block + offs
 
     def _get_steps(self, terminals_window: Array) -> Array:
         """Distance to first terminal within the horizon window [B, H] (ref :760)."""
