@@ -226,8 +226,9 @@ class ReplayBuffer:
         O(capacity/block + B*block) work.  Exactly uniform.
         """
         cap = self._capacity
-        block = 256
-        if cap % block != 0 or cap <= block:
+        # largest power-of-two block (<=512) dividing capacity; e.g. 100000 -> 32
+        block = next((b for b in (512, 256, 128, 64, 32) if cap % b == 0), 0)
+        if block == 0 or cap <= block:
             valid_f = state.is_valid.astype(jnp.int32)
             csum = jnp.cumsum(valid_f)
             total = csum[-1]
