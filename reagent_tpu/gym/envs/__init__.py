@@ -15,6 +15,8 @@ from reagent_tpu.gym.envs.extra import (
     StringGame,
 )
 from reagent_tpu.gym.envs.pomdp import PocManEnv, ToyVMEnv
+from reagent_tpu.gym.envs.oracle_pvm import OraclePVM
+from reagent_tpu.gym.envs.state_embed import StateEmbedEnv
 
 __all__ = [
     "CartPole",
@@ -29,4 +31,6 @@ __all__ = [
     "RecSimSlate",
     "PocManEnv",
     "ToyVMEnv",
+    "OraclePVM",
+    "StateEmbedEnv",
 ]
