@@ -55,8 +55,16 @@ class AdamW(OptimizerConfig):
     betas: Tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
     weight_decay: float = 0.01
+    amsgrad: bool = False
 
     def make_optimizer(self) -> optax.GradientTransformation:
+        if self.amsgrad:
+            # adamw composition with the amsgrad second-moment max
+            return optax.chain(
+                optax.scale_by_amsgrad(b1=self.betas[0], b2=self.betas[1], eps=self.eps),
+                optax.add_decayed_weights(self.weight_decay),
+                optax.scale(-self.lr),
+            )
         return optax.adamw(
             self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
             weight_decay=self.weight_decay,

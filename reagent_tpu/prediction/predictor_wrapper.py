@@ -303,3 +303,91 @@ def load_predictor(path: str):
         return fwd(values, presence)
 
     return type("Predictor", (), {"predict": staticmethod(predict_dqn)})()
+
+
+class CategoricalDqnPredictorWrapper:
+    """C51 serving: E[Z(s,a)] = sum_z p(z|s,a) * z per action.
+
+    Reference: prediction/predictor_wrapper.py exports the categorical head
+    through the same discrete-DQN wrapper after taking the expectation; the
+    distributional head isn't a flat MLP, so the artifact is pickle-based
+    (module + params + normalization), like actors.
+    """
+
+    def __init__(self, q_network, q_params, state_preprocessor: Preprocessor,
+                 action_names: Sequence[str]):
+        self.q_network = q_network
+        self.q_params = q_params
+        self.preprocessor = state_preprocessor
+        self.action_names = list(action_names)
+        self._fn = jax.jit(self._forward)
+
+    def _forward(self, values, presence):
+        obs = self.preprocessor(values, presence)
+        return self.q_network.apply(self.q_params, obs)  # expected Q [B, A]
+
+    def __call__(self, values, presence):
+        return self.action_names, self._fn(values, presence)
+
+    def save(self, path: str) -> None:
+        import pickle
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(
+                {"model_type": "categorical_dqn", "action_names": self.action_names},
+                f, indent=2,
+            )
+        payload = {
+            "normalization": serialize(self.preprocessor.normalization_parameters),
+            "module": self.q_network,
+            "params": jax.tree_util.tree_map(np.asarray, self.q_params),
+            "action_names": self.action_names,
+        }
+        with open(os.path.join(path, "model.pkl"), "wb") as f:
+            pickle.dump(payload, f)
+
+    @staticmethod
+    def load(path: str):
+        import pickle
+
+        with open(os.path.join(path, "model.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        from reagent_tpu.preprocessing.normalization import deserialize
+
+        pre = Preprocessor(deserialize(payload["normalization"]))
+        module, params = payload["module"], payload["params"]
+
+        @jax.jit
+        def _fwd(values, presence):
+            return module.apply(params, pre(values, presence))
+
+        def forward(values, presence):
+            return payload["action_names"], np.asarray(
+                _fwd(jnp.asarray(values), jnp.asarray(presence))
+            )
+
+        return forward
+
+
+class _QuantileMeanHead:
+    """Picklable head: [B, A*N] quantile outputs -> mean over atoms [B, A]."""
+
+    def __init__(self, module, num_actions: int, num_atoms: int):
+        self.module = module
+        self.num_actions = num_actions
+        self.num_atoms = num_atoms
+
+    def apply(self, params, obs):
+        out = self.module.apply(params, obs)
+        return out.reshape(obs.shape[0], self.num_actions, self.num_atoms).mean(axis=2)
+
+
+def make_quantile_dqn_predictor_wrapper(
+    q_network, q_params, state_preprocessor, action_names, num_atoms: int
+) -> "CategoricalDqnPredictorWrapper":
+    """QR-DQN serving: Q(s,a) = mean of quantile atoms (ref qrdqn export)."""
+    head = _QuantileMeanHead(q_network, len(action_names), num_atoms)
+    return CategoricalDqnPredictorWrapper(
+        head, q_params, state_preprocessor, action_names
+    )
