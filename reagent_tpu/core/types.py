@@ -406,6 +406,7 @@ class CBInput:
     weight: Optional[Array] = None
     arms: Optional[Array] = None
     mdp_id: Optional[Array] = None
+    importance_weight: Optional[Array] = None
 
     @classmethod
     def input_prototype(cls, batch_size: int = 2, num_arms: int = 3, dim: int = 4) -> "CBInput":

@@ -15,6 +15,11 @@ from reagent_tpu.models.actor import (
 )
 from reagent_tpu.models.bcq import BatchConstrainedDQN
 from reagent_tpu.models.value import ValueNetwork
+from reagent_tpu.models.linear_regression import (
+    DisjointLinearRegressionUCB,
+    LinearRegressionUCB,
+)
+from reagent_tpu.models.deep_represent_linucb import DeepRepresentLinearRegressionUCB
 
 __all__ = [
     "FullyConnectedNetwork",
