@@ -332,7 +332,12 @@ class Seq2SlateTransformerModel(nn.Module):
         B, C, cdim = candidate_features.shape
         T = tgt_seq_len
         if rng is None:
-            rng = jax.random.PRNGKey(0)
+            if not greedy:
+                raise ValueError(
+                    "sampled ranking (greedy=False) requires an explicit rng key;"
+                    " without one every call would return the same slate"
+                )
+            rng = jax.random.PRNGKey(0)  # unused by the greedy argmax path
 
         # fixed-size tgt_in_idx buffer [B, T+1]; position 0 = start symbol
         init_idx = jnp.full((B, T + 1), PADDING_SYMBOL, jnp.int32)
@@ -389,3 +394,89 @@ class Seq2SlateTransformerModel(nn.Module):
         )
         scores = self.encoder_scorer(slate_mem)[..., 0]
         return Seq2SlateTransformerOutput(encoder_scores=scores)
+
+
+class Seq2SlateTransformerNet:
+    """Batch-level convenience wrapper over Seq2SlateTransformerModel.
+
+    Reference: models/seq2slate.py:847 (Seq2SlateNet) and :936
+    (Seq2SlateTransformerNet) — a ModelBase that dispatches a
+    PreprocessedRankingInput by mode.  Here params are explicit (functional),
+    so the wrapper binds (module, params) and unpacks the typed batch; the
+    reference's _DistributedSeq2SlateNet DDP wrapper dissolves into
+    data-parallel sharding of the batch pytree.
+    """
+
+    def __init__(
+        self,
+        state_dim: int,
+        candidate_dim: int,
+        num_stacked_layers: int,
+        num_heads: int,
+        dim_model: int,
+        dim_feedforward: int,
+        max_src_seq_len: int,
+        max_tgt_seq_len: int,
+        output_arch: Seq2SlateOutputArch = Seq2SlateOutputArch.AUTOREGRESSIVE,
+        temperature: float = 1.0,
+    ):
+        self.seq2slate = Seq2SlateTransformerModel(
+            state_dim=state_dim,
+            candidate_dim=candidate_dim,
+            num_stacked_layers=num_stacked_layers,
+            num_heads=num_heads,
+            dim_model=dim_model,
+            dim_feedforward=dim_feedforward,
+            max_src_seq_len=max_src_seq_len,
+            max_tgt_seq_len=max_tgt_seq_len,
+            output_arch=output_arch,
+            temperature=temperature,
+        )
+        self.max_tgt_seq_len = max_tgt_seq_len
+
+    def init(self, rng, batch) -> Any:
+        return self.seq2slate.init(
+            rng,
+            Seq2SlateMode.RANK_MODE.value,
+            batch.state.float_features,
+            batch.src_seq.float_features,
+            tgt_seq_len=self.max_tgt_seq_len,
+            greedy=True,
+            rng=rng,
+        )
+
+    def __call__(
+        self,
+        params,
+        batch,
+        mode: Seq2SlateMode,
+        tgt_seq_len: Optional[int] = None,
+        greedy: Optional[bool] = None,
+        rng=None,
+    ) -> Seq2SlateTransformerOutput:
+        mode_value = mode.value if isinstance(mode, Seq2SlateMode) else mode
+        kwargs = {}
+        if mode_value == Seq2SlateMode.RANK_MODE.value:
+            kwargs = dict(
+                tgt_seq_len=tgt_seq_len or self.max_tgt_seq_len,
+                greedy=bool(greedy),
+                rng=rng,
+            )
+        elif mode_value in (
+            Seq2SlateMode.PER_SEQ_LOG_PROB_MODE.value,
+            Seq2SlateMode.PER_SYMBOL_LOG_PROB_DIST_MODE.value,
+        ):
+            kwargs = dict(
+                tgt_in_idx=batch.tgt_in_idx,
+                tgt_out_idx=batch.tgt_out_idx,
+                tgt_in_seq=batch.tgt_in_seq.float_features,
+            )
+        elif mode_value == Seq2SlateMode.ENCODER_SCORE_MODE.value:
+            kwargs = dict(tgt_out_idx=batch.tgt_out_idx)
+        return self.seq2slate.apply(
+            params,
+            mode_value,
+            batch.state.float_features,
+            batch.src_seq.float_features,
+            **kwargs,
+        )
