@@ -1,0 +1,62 @@
+"""OPE benchmark harnesses: multiclass-bandit and CartPole sequential.
+
+Reference: reagent/ope/test/{multiclass_bandits.py, cartpole.py}.
+"""
+
+import numpy as np
+import pytest
+
+from reagent_tpu.ope.test.multiclass_bandits import MultiClassDataset, evaluate_all
+
+
+def test_multiclass_bandit_estimators_recover_truth():
+    ds = MultiClassDataset.from_sklearn("digits")
+    res = evaluate_all(ds, seed=1)
+    gt = res["ips"].ground_truth_reward
+    for name in ("dm", "ips", "dr"):
+        est = res[name].estimated_reward
+        assert abs(est - gt) < 0.08, (name, est, gt)
+    # the benchmark is non-trivial: logged reward far from target value
+    assert abs(res["ips"].log_reward - gt) > 0.1
+
+
+def test_multiclass_dataset_from_csv(tmp_path):
+    import pandas as pd
+
+    p = tmp_path / "data.csv"
+    pd.DataFrame(
+        {"f0": [0.1, 0.9, 0.2, 0.8], "f1": [1.0, 0.0, 1.0, 0.0], "y": [0, 1, 0, 1]}
+    ).to_csv(p, header=False, index=False)
+    ds = MultiClassDataset.from_csv({"file": str(p), "label_col": -1})
+    assert len(ds) == 4 and ds.num_actions == 2
+    assert ds.features.shape == (4, 2)
+
+
+def test_multiclass_dataset_missing_keys():
+    with pytest.raises(ValueError, match="file"):
+        MultiClassDataset.from_csv({"label_col": 0})
+    with pytest.raises(ValueError, match="label_col"):
+        MultiClassDataset.from_csv({"file": "x.csv"})
+
+
+@pytest.mark.slow
+def test_cartpole_sequential_ope_close_to_truth():
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.ope.test.cartpole import evaluate_cartpole
+
+    q_net = FullyConnectedDQN(
+        state_dim=4, action_dim=2, sizes=[32], activations=["relu"]
+    )
+    params = q_net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    results, gt = evaluate_cartpole(
+        q_net.apply, params, num_episodes=100, horizon=50,
+        behavior_temperature=1.5, target_temperature=0.5, seed=2,
+    )
+    # untrained net: policies are near-random; IPS should still track truth
+    ips = results["ips"].estimated_reward
+    assert np.isfinite(ips)
+    assert abs(ips - gt) < 0.5 * gt, (ips, gt)
+    assert np.isfinite(results["magic"].estimated_reward)
