@@ -59,16 +59,19 @@ class DecisionService {
  public:
   DecisionService(std::shared_ptr<RealTimeCounter> counter,
                   std::shared_ptr<ActionValueScorer> scorer,
-                  std::shared_ptr<InMemoryLogJoiner> logJoiner)
+                  std::shared_ptr<InMemoryLogJoiner> logJoiner,
+                  std::shared_ptr<SharedParameterHandler> sharedParameterHandler =
+                      std::make_shared<SharedParameterHandler>())
       : counter_(std::move(counter)),
         scorer_(std::move(scorer)),
-        logJoiner_(std::move(logJoiner)) {}
+        logJoiner_(std::move(logJoiner)),
+        sharedParameterHandler_(std::move(sharedParameterHandler)) {}
 
   void createPlan(const std::string& name, const DecisionConfig& config) {
     std::lock_guard<std::mutex> g(mu_);
     Plan plan;
     plan.config = config;
-    OperatorContext ctx{counter_.get(), scorer_.get()};
+    OperatorContext ctx{counter_.get(), scorer_.get(), sharedParameterHandler_.get()};
     StringOperatorDataMap constants;
     for (const auto& kv : config.constants) constants[kv.first] = kv.second;
     for (const auto& def : config.operators) {
@@ -201,6 +204,7 @@ class DecisionService {
   std::shared_ptr<RealTimeCounter> counter_;
   std::shared_ptr<ActionValueScorer> scorer_;
   std::shared_ptr<InMemoryLogJoiner> logJoiner_;
+  std::shared_ptr<SharedParameterHandler> sharedParameterHandler_;
   OperatorRunner runner_;
   std::mutex mu_;
   std::map<std::string, Plan> plans_;

@@ -10,6 +10,7 @@
 #include <unordered_map>
 
 #include "reagent_serving/containers.h"
+#include "reagent_serving/shared_parameter_handler.h"
 
 namespace reagent {
 
@@ -48,6 +49,7 @@ class ActionValueScorer;
 struct OperatorContext {
   RealTimeCounter* counter = nullptr;
   ActionValueScorer* scorer = nullptr;
+  SharedParameterHandler* sharedParameterHandler = nullptr;
 };
 
 class OperatorFactory {

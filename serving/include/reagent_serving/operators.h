@@ -314,16 +314,21 @@ class PropensityFit : public Operator {
  public:
   PropensityFit(const std::string& name, const std::string& planName,
                 const StringOperatorDataMap& constants, const OperatorContext& ctx)
-      : Operator(name, planName, constants), counter_(ctx.counter) {}
+      : Operator(name, planName, constants),
+        counter_(ctx.counter),
+        sharedParameterHandler_(ctx.sharedParameterHandler) {}
 
-  // Shift scores so realized serving propensities approach targets
-  // (reference operators/PropensityFit.cpp; shifts learned from feedback).
+  // Shift scores so realized serving propensities approach targets.  Shifts
+  // live in the SharedParameterHandler so replicas share one online state
+  // (reference operators/PropensityFit.cpp:30,72-110).
   OperatorData run(const DecisionRequest&,
                    const StringOperatorDataMap& in) override {
     StringDoubleMap input = toDoubleMap(in.at("input"));
+    StringDoubleMap shifts = sharedParameterHandler_->getValues(parameterName());
     StringDoubleMap out;
     for (const auto& kv : input) {
-      out[kv.first] = kv.second + counter_->getMean(shiftKey(kv.first));
+      auto it = shifts.find(kv.first);
+      out[kv.first] = kv.second + (it == shifts.end() ? 0.0 : it->second);
     }
     return fromDoubleMap(out);
   }
@@ -336,20 +341,31 @@ class PropensityFit : public Operator {
     StringDoubleMap targets = toDoubleMap(pastInputs.at("targets"));
     auto it = targets.find(feedback.actionName);
     if (it == targets.end()) return;
-    // served vs target: lower shift if over-served (served indicator = 1)
-    double adjustment = it->second - 1.0;
-    counter_->addValue(shiftKey(feedback.actionName), adjustment);
+    counter_->addValue(shiftKey(feedback.actionName), it->second - 1.0);
+    const std::string pname = parameterName();
+    if (sharedParameterHandler_->acquireLockToModifyParameter(pname)) {
+      StringDoubleMap shifts = sharedParameterHandler_->getValues(pname);
+      shifts[feedback.actionName] = counter_->getMean(shiftKey(feedback.actionName));
+      sharedParameterHandler_->updateParameter(pname, shifts);
+      sharedParameterHandler_->releaseParameter(pname);
+    }
   }
 
   double getShift(const std::string& action) {
-    return counter_->getMean(shiftKey(action));
+    auto shifts = sharedParameterHandler_->getValues(parameterName());
+    auto it = shifts.find(action);
+    return it == shifts.end() ? 0.0 : it->second;
   }
 
  private:
+  std::string parameterName() const {
+    return "Parameter_Store_" + planName_ + "/" + name_;
+  }
   std::string shiftKey(const std::string& action) const {
     return planName_ + "/" + name_ + "/shift/" + action;
   }
   RealTimeCounter* counter_;
+  SharedParameterHandler* sharedParameterHandler_;
 };
 
 class ActionValueScoring : public Operator {

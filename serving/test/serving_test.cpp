@@ -1,9 +1,11 @@
 // C++ serving tests (reference: serving/reagent/serving/test/*_test.cpp,
 // gtest there; plain asserts here to stay dependency-free).
+#include <atomic>
 #include <cassert>
 #include <cmath>
 #include <iostream>
 #include <sstream>
+#include <thread>
 
 #include "reagent_serving/decision_service.h"
 #include "reagent_serving/expression.h"
@@ -162,6 +164,48 @@ void testLogJoiner() {
   std::cout << "testLogJoiner OK" << std::endl;
 }
 
+static void test_shared_parameter_handler() {
+  reagent::SharedParameterHandler handler;
+  // unknown parameter reads as empty (auto-registered on first touch)
+  CHECK(handler.getValues("shifts").empty());
+  CHECK(handler.acquireLockToModifyParameter("shifts"));
+  handler.updateParameter("shifts", {{"action_a", 0.5}, {"action_b", -0.25}});
+  handler.releaseParameter("shifts");
+  auto values = handler.getValues("shifts");
+  CHECK(values.size() == 2);
+  CHECK(values.at("action_a") == 0.5);
+  // second writer can't take the lock while the first holds it
+  CHECK(handler.acquireLockToModifyParameter("shifts"));
+  CHECK(!handler.acquireLockToModifyParameter("shifts"));
+  handler.releaseParameter("shifts");
+  // updating a never-seen parameter throws
+  bool threw = false;
+  try {
+    handler.updateParameter("never_seen", {{"x", 1.0}});
+  } catch (const std::exception&) {
+    threw = true;
+  }
+  CHECK(threw);
+  // concurrent readers while a writer updates (smoke for data races)
+  std::atomic<bool> stop{false};
+  std::thread writer([&] {
+    for (int i = 0; i < 1000; i++) {
+      handler.updateParameter("shifts", {{"action_a", double(i)}});
+    }
+    stop = true;
+  });
+  std::thread reader([&] {
+    while (!stop) {
+      auto v = handler.getValues("shifts");
+      CHECK(v.empty() || v.count("action_a"));
+    }
+  });
+  writer.join();
+  stop = true;
+  reader.join();
+  std::cout << "test_shared_parameter_handler OK" << std::endl;
+}
+
 int main() {
   testJson();
   testExpression();
@@ -169,6 +213,7 @@ int main() {
   testLogJoiner();
   testDagAndExpression();
   testUcbConvergence();
+  test_shared_parameter_handler();
   std::cout << "ALL SERVING TESTS PASSED" << std::endl;
   return 0;
 }
