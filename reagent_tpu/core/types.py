@@ -227,6 +227,15 @@ class ValuePresence:
 
 
 @struct.dataclass
+class GaussianSamplerScore:
+    """Gaussian policy head output consumed by GaussianSampler
+    (reference: reagent/gym/types.py GaussianSamplerScore)."""
+
+    loc: Array
+    scale_log: Array
+
+
+@struct.dataclass
 class ActorOutput:
     """Reference: types.py:247."""
 

@@ -7,6 +7,18 @@ from reagent_tpu.gym.policies.samplers import (
     GreedyActionSampler,
     SoftmaxActionSampler,
 )
+from reagent_tpu.gym.policies.scorers import (
+    discrete_dqn_scorer,
+    parametric_dqn_scorer,
+    sac_scorer,
+    slate_q_scorer,
+)
+from reagent_tpu.gym.policies.random_policies import (
+    ContinuousRandomPolicy,
+    DiscreteRandomPolicy,
+    MultiDiscreteRandomPolicy,
+    make_random_policy_for_env,
+)
 
 __all__ = [
     "Policy",
@@ -14,4 +26,12 @@ __all__ = [
     "GreedyActionSampler",
     "EpsilonGreedyActionSampler",
     "GaussianSampler",
+    "discrete_dqn_scorer",
+    "parametric_dqn_scorer",
+    "sac_scorer",
+    "slate_q_scorer",
+    "make_random_policy_for_env",
+    "DiscreteRandomPolicy",
+    "ContinuousRandomPolicy",
+    "MultiDiscreteRandomPolicy",
 ]
