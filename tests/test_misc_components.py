@@ -165,3 +165,78 @@ def test_reporter_aggregation():
     assert out["td_loss"] == pytest.approx(2.0)
     assert out["q_values_mean"] == pytest.approx(1.0)
     assert r.flush(epoch=1) == {}  # aggregators reset after flush
+
+
+def test_gym_utils_normalizers_and_replay_export():
+    """build_normalizer + create_df_from_replay_buffer -> timeline chain
+    (reference gym/utils.py:93-260)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.data.timeline import timeline_transform
+    from reagent_tpu.gym.envs import CartPole, Pendulum
+    from reagent_tpu.gym.online_loop import prefill_replay_buffer
+    from reagent_tpu.gym.utils import build_normalizer, create_df_from_replay_buffer
+    from reagent_tpu.replay import ReplayBuffer
+
+    n = build_normalizer(CartPole())
+    assert set(n.keys()) == {"state", "action"}
+    assert len(n["state"].dense_normalization_parameters) == 4
+    assert (
+        n["action"].dense_normalization_parameters[0].feature_type
+        == "DO_NOT_PREPROCESS"
+    )
+    n = build_normalizer(Pendulum())
+    assert n["action"].dense_normalization_parameters[0].feature_type == "CONTINUOUS"
+
+    env = CartPole(max_steps=50)
+    rb = ReplayBuffer(replay_capacity=1024, update_horizon=1, gamma=0.99)
+    rbs = rb.init(
+        observation=jnp.zeros(4), action=jnp.int32(0),
+        reward=jnp.float32(0), terminal=jnp.bool_(False),
+    )
+    rbs = prefill_replay_buffer(env, rb, rbs, jax.random.PRNGKey(0), num_steps=300)
+    df = create_df_from_replay_buffer(rb, rbs)
+    assert len(df) == 299 and df.mdp_id.nunique() > 3
+    tdf = timeline_transform(df)
+    assert "next_state_features" in tdf.columns and len(tdf) == len(df)
+
+
+def test_workflow_train_eval_helper():
+    """Generic epoch driver (reference workflow/utils.py:135-177)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.gym.preprocessors import make_discrete_dqn_batch
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training import DQNTrainer
+    from reagent_tpu.workflow.utils import get_rank, train_eval
+
+    assert get_rank() == 0
+    q = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[16], activations=["relu"])
+    trainer = DQNTrainer(
+        q_network=q, rl=RLParameters(gamma=0.9, target_update_rate=0.1),
+        optimizer={"Adam": {"lr": 0.01}},
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    rng = jax.random.PRNGKey(1)
+
+    def batches():
+        for i in range(4):
+            r = jax.random.fold_in(rng, i)
+            yield make_discrete_dqn_batch(
+                {
+                    "state": jax.random.normal(r, (32, 4)),
+                    "action": jax.random.randint(r, (32,), 0, 2),
+                    "next_action": jax.random.randint(r, (32,), 0, 2),
+                    "reward": jnp.ones((32,)),
+                    "next_state": jax.random.normal(r, (32, 4)),
+                    "terminal": jnp.zeros((32,), bool),
+                    "step": jnp.ones((32,), jnp.int32),
+                },
+                2,
+            )
+
+    ts, metrics = train_eval(trainer, ts, batches, num_epochs=2)
+    assert "td_loss" in metrics
