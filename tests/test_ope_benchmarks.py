@@ -60,3 +60,23 @@ def test_cartpole_sequential_ope_close_to_truth():
     assert np.isfinite(ips)
     assert abs(ips - gt) < 0.5 * gt, (ips, gt)
     assert np.isfinite(results["magic"].estimated_reward)
+
+
+def test_slate_benchmark_pi_beats_ips_variance():
+    """PI is near-unbiased with far lower variance than whole-slate IPS
+    (Swaminathan et al. 2017; reference mslr_slate.py experiment)."""
+    from reagent_tpu.ope.test.slate_benchmark import (
+        QueryCorpus,
+        evaluate_slate_benchmark,
+    )
+
+    corpus = QueryCorpus.synthetic(num_queries=150, num_docs=15, seed=2)
+    res = evaluate_slate_benchmark(corpus, seed=3)
+    gt = res["ips"].ground_truth_reward
+    pi = res["pseudo_inverse"]
+    # PI within 10% of truth
+    assert abs(pi.estimated_reward - gt) < 0.1 * gt, (pi.estimated_reward, gt)
+    # and much lower standard error than slate-level IPS
+    assert pi.estimated_reward_std_error < 0.3 * res["ips"].estimated_reward_std_error
+    # benchmark non-trivial: logged reward far from target value
+    assert abs(res["ips"].log_reward - gt) > 0.2 * gt
