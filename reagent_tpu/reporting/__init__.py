@@ -8,6 +8,9 @@ from reagent_tpu.reporting.reporters import (
     SlateQReporter,
     TD3Reporter,
     WorldModelReporter,
+    DiscreteCRRReporter,
+    RewardNetworkReporter,
+    Seq2RewardReporter,
 )
 
 __all__ = [
@@ -19,4 +22,7 @@ __all__ = [
     "ParametricDQNReporter",
     "SlateQReporter",
     "WorldModelReporter",
+    "DiscreteCRRReporter",
+    "RewardNetworkReporter",
+    "Seq2RewardReporter",
 ]

@@ -53,3 +53,28 @@ class SlateQReporter(ReporterBase):
 class WorldModelReporter(ReporterBase):
     def __init__(self):
         super().__init__(**_mk(["loss", "gmm", "bce", "mse"]))
+
+
+class DiscreteCRRReporter(ReporterBase):
+    """Reference: reporting/discrete_crr_reporter.py."""
+
+    def __init__(self):
+        super().__init__(
+            **_mk(["q1_loss", "q2_loss", "actor_loss", "actor_q1_mean", "td_loss"])
+        )
+
+
+class RewardNetworkReporter(ReporterBase):
+    """Reference: reporting/reward_network_reporter.py."""
+
+    def __init__(self):
+        super().__init__(**_mk(["loss", "unweighted_loss", "eval_loss"]))
+
+
+class Seq2RewardReporter(ReporterBase):
+    """Reference: reporting/seq2reward_reporter.py."""
+
+    def __init__(self):
+        super().__init__(
+            **_mk(["mse_loss", "step_entropy_loss", "q_values_mean", "eval_mse_loss"])
+        )

@@ -240,3 +240,36 @@ def test_workflow_train_eval_helper():
 
     ts, metrics = train_eval(trainer, ts, batches, num_epochs=2)
     assert "td_loss" in metrics
+
+
+def test_manual_data_module_lifecycle(tmp_path):
+    """prepare_data -> normalization + hash split -> typed batch iterators
+    (reference data/manual_data_module.py:85-250)."""
+    import numpy as np
+
+    from reagent_tpu.data.data_module import ManualDataModule, TableSpec
+    from reagent_tpu.data.timeline import timeline_transform
+    from reagent_tpu.model_managers import DiscreteDQN
+    from reagent_tpu.workflow.gym_batch_rl import offline_gym_random
+
+    pkl = str(tmp_path / "pre.pkl")
+    offline_gym_random(env_name="CartPole-v1", pkl_path=pkl,
+                       num_train_transitions=600, max_steps=100, seed=4)
+    import pandas as pd
+
+    timeline_transform(pd.read_pickle(pkl)).to_pickle(str(tmp_path / "t.pkl"))
+    spec = TableSpec(table_name="t", path=str(tmp_path / "t.pkl"),
+                     table_sample=80.0, eval_table_sample=20.0)
+    manager = DiscreteDQN(trainer_param={"actions": ["0", "1"]})
+    dm = ManualDataModule(input_table_spec=spec, model_manager=manager)
+    dm.prepare_data()
+    norm = dm.get_normalization_data_map()
+    assert "state" in norm
+    batches = list(dm.train_dataset(batch_size=128))
+    assert batches and batches[0].state.float_features.shape[1] == 4
+    eval_batches = list(dm.eval_dataset(batch_size=128))
+    assert eval_batches  # eval split non-empty with 20% sample
+    # train/eval mdp split is disjoint
+    assert set(dm._train_df.mdp_id) & set(dm._eval_df.mdp_id) == set()
+    # prepare_data is idempotent
+    dm.prepare_data()
