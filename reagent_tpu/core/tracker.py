@@ -54,6 +54,12 @@ class Aggregator:
     def update(self, key: str, value: Any) -> None:
         self.values.append(value)
 
+    def __call__(self, key: str, values: List[Any]) -> None:
+        """Fold a buffered list of values (reference aggregators.py:19-24)."""
+        assert key == self.key, f"{key} != {self.key}"
+        for v in values:
+            self.values.append(v)
+
     def flush(self) -> Optional[float]:
         if not self.values:
             return None
