@@ -6,6 +6,7 @@ from reagent_tpu.gym.policies.samplers import (
     GaussianSampler,
     GreedyActionSampler,
     SoftmaxActionSampler,
+    TopKSampler,
 )
 from reagent_tpu.gym.policies.scorers import (
     discrete_dqn_scorer,
@@ -26,6 +27,7 @@ __all__ = [
     "GreedyActionSampler",
     "EpsilonGreedyActionSampler",
     "GaussianSampler",
+    "TopKSampler",
     "discrete_dqn_scorer",
     "parametric_dqn_scorer",
     "sac_scorer",

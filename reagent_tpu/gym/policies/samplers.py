@@ -105,3 +105,16 @@ class GaussianSampler:
 
     def log_prob(self, actor_output: rlt.ActorOutput, action: Array) -> Array:
         return actor_output.log_prob
+
+
+class TopKSampler:
+    """Pick the k highest-scoring items (reference top_k_sampler.py:12-23)."""
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+
+    def sample_action(self, scores, rng=None) -> rlt.ActorOutput:
+        top_values, item_idxs = jax.lax.top_k(scores, self.k)
+        return rlt.ActorOutput(
+            action=item_idxs, log_prob=jnp.zeros((item_idxs.shape[0], 1))
+        )

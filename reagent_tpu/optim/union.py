@@ -126,10 +126,25 @@ class Lion(OptimizerConfig):
 
 
 def make_optimizer(config: Any) -> optax.GradientTransformation:
-    """Build an optax transform from a tagged-union config / instance / None."""
+    """Build an optax transform from a tagged-union config / instance / None.
+
+    An ``lr_scheduler`` key inside the optimizer kwargs composes a schedule
+    (reference Optimizer__Union.make_optimizer_scheduler):
+    ``{"Adam": {"lr": 1e-3, "lr_scheduler": {"StepLR": {"step_size": 100}}}}``
+    """
     if config is None:
         return optax.adam(1e-3)
     if isinstance(config, OptimizerConfig):
         return config.make_optimizer()
+    scheduler = None
+    if isinstance(config, dict) and len(config) == 1:
+        name, kwargs = next(iter(config.items()))
+        if isinstance(kwargs, dict) and "lr_scheduler" in kwargs:
+            from reagent_tpu.optim.scheduler import LR_SCHEDULERS, with_scheduler
+
+            kwargs = dict(kwargs)
+            scheduler = LR_SCHEDULERS.build(kwargs.pop("lr_scheduler"))
+            built = OPTIMIZERS.build({name: kwargs})
+            return with_scheduler(built.make_optimizer(), scheduler)
     built = OPTIMIZERS.build(config)
     return built.make_optimizer()

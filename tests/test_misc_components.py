@@ -273,3 +273,54 @@ def test_manual_data_module_lifecycle(tmp_path):
     assert set(dm._train_df.mdp_id) & set(dm._eval_df.mdp_id) == set()
     # prepare_data is idempotent
     dm.prepare_data()
+
+
+def test_lr_schedulers_compose_with_optimizers():
+    """Scheduler tagged-union over optax (reference optimizer/scheduler_union.py)."""
+    import jax.numpy as jnp
+
+    from reagent_tpu.optim import make_optimizer
+    from reagent_tpu.optim.scheduler import LR_SCHEDULERS, CosineAnnealingLR, StepLR
+
+    assert {"StepLR", "MultiStepLR", "ExponentialLR", "LinearLR",
+            "CosineAnnealingLR", "OneCycleLR"} <= set(LR_SCHEDULERS.members())
+    s = StepLR(step_size=10, gamma=0.5).make_schedule()
+    assert float(s(0)) == 1.0 and float(s(10)) == 0.5
+    assert abs(float(CosineAnnealingLR(T_max=100).make_schedule()(100))) < 1e-6
+
+    opt = make_optimizer(
+        {"SGD": {"lr": 1.0, "lr_scheduler": {"ExponentialLR": {"gamma": 0.5}}}}
+    )
+    p = jnp.array(1.0)
+    state = opt.init(p)
+    lrs = []
+    for _ in range(3):
+        u, state = opt.update(jnp.array(1.0), state, p)
+        lrs.append(float(-u))
+    assert lrs == [1.0, 0.5, 0.25]
+
+
+def test_postprocessor_and_topk_sampler():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reagent_tpu.core.parameters import NormalizationParameters
+    from reagent_tpu.gym.policies import TopKSampler
+    from reagent_tpu.preprocessing.postprocessor import Postprocessor
+
+    post = Postprocessor({
+        0: NormalizationParameters(
+            feature_type="CONTINUOUS_ACTION", mean=0.0, stddev=1.0,
+            min_value=-2.0, max_value=2.0,
+        )
+    })
+    a = post(jnp.array([[-1.0], [0.0], [1.0]]))
+    np.testing.assert_allclose(np.asarray(a).ravel(), [-2.0, 0.0, 2.0], atol=1e-2)
+    # identity for DO_NOT_PREPROCESS
+    post = Postprocessor({
+        0: NormalizationParameters(feature_type="DO_NOT_PREPROCESS", mean=0.0, stddev=1.0)
+    })
+    np.testing.assert_allclose(np.asarray(post(jnp.array([[3.0]]))), [[3.0]])
+
+    out = TopKSampler(2).sample_action(jnp.array([[0.1, 0.9, 0.5]]))
+    assert np.asarray(out.action).tolist() == [[1, 2]]
