@@ -208,6 +208,13 @@ class FeatureData:
         tiled = jnp.repeat(f, num_tiles, axis=0)
         return FeatureData(float_features=tiled)
 
+    def get_ranking_state(self, has_user_feat: bool) -> Array:
+        """Reference types.py:382-387."""
+        if has_user_feat:
+            return self.concat_user_doc()
+        assert self.candidate_docs is not None
+        return self.candidate_docs.float_features
+
     def concat_user_doc(self) -> Array:
         """[b, user_dim + num_docs * doc_dim] concat (reference types.py:367)."""
         assert self.candidate_docs is not None

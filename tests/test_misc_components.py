@@ -324,3 +324,71 @@ def test_postprocessor_and_topk_sampler():
 
     out = TopKSampler(2).sample_action(jnp.array([[0.1, 0.9, 0.5]]))
     assert np.asarray(out.action).tolist() == [[1, 2]]
+
+
+def test_gym_dataset_adapters():
+    """Host-loop ReplayBufferDataset/EpisodicDataset (reference gym/datasets/)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.gym.datasets import EpisodicDataset, ReplayBufferDataset
+    from reagent_tpu.gym.envs import CartPole
+    from reagent_tpu.gym.policies.samplers import SoftmaxActionSampler
+    from reagent_tpu.gym.preprocessors import make_discrete_dqn_batch
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.replay import ReplayBuffer
+    from reagent_tpu.training import DQNTrainer
+
+    env = CartPole(max_steps=30)
+    q = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[16], activations=["relu"])
+    params = q.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    rb = ReplayBuffer(replay_capacity=512, update_horizon=1, gamma=0.99)
+    rbs = rb.init(
+        observation=jnp.zeros(4), action=jnp.int32(0),
+        reward=jnp.float32(0), terminal=jnp.bool_(False),
+    )
+    ds = ReplayBufferDataset(
+        env, lambda p, o, r: jnp.argmax(q.apply(p, o[None])[0]).astype(jnp.int32),
+        params, rb, rbs, lambda d: make_discrete_dqn_batch(d, 2),
+        training_frequency=2, num_episodes=2, batch_size=16,
+    )
+    trainer = DQNTrainer(
+        q_network=q, rl=RLParameters(gamma=0.9, target_update_rate=0.1),
+        optimizer={"Adam": {"lr": 0.01}},
+    )
+    ts = trainer.init(jax.random.PRNGKey(1), jnp.zeros((1, 4)))
+    batches = 0
+    for batch in ds:
+        ts, m = trainer.train_step(ts, batch)
+        batches += 1
+    assert batches >= 5 and float(m["td_loss"]) >= 0
+
+    eds = EpisodicDataset(
+        env, lambda p, o: q.apply(p, o), params,
+        SoftmaxActionSampler(temperature=1.0), num_episodes=2, max_steps=30,
+    )
+    eps = list(eds)
+    assert len(eps) == len(eds) == 2
+    episode, ep_return = eps[0]
+    assert float(ep_return) > 0
+
+
+def test_mlp_scorer_ranking_state():
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.models.mlp_scorer import MLPScorer
+
+    obs = rlt.FeatureData(
+        float_features=jnp.zeros((2, 5)),
+        candidate_docs=rlt.DocList(float_features=jnp.ones((2, 3, 4))),
+    )
+    m = MLPScorer(input_dim=4, sizes=[8], activations=["relu"])
+    p = m.init(jax.random.PRNGKey(0), obs)
+    assert m.apply(p, obs).shape == (2, 3)
+    # user-feat variant scores the concat vector
+    m2 = MLPScorer(input_dim=5 + 3 * 4, sizes=[8], activations=["relu"], has_user_feat=True)
+    p2 = m2.init(jax.random.PRNGKey(0), obs)
+    assert m2.apply(p2, obs).shape == (2,)
