@@ -131,3 +131,34 @@ def test_normal_gamma_thompson_updates():
     assert float(state.extra["mus"][1]) == 0.0
     samples = algo.get_scores(state, jax.random.PRNGKey(0))
     assert samples.shape == (2,)
+
+
+def test_mab_trainer_cb_bridge():
+    """CBInput batches -> MAB state; UCB1 converges to the best arm
+    (reference training/cb/mab_trainer.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reagent_tpu.core.types import CBInput
+    from reagent_tpu.mab.ucb import UCB1
+    from reagent_tpu.training.cb import MABTrainer
+
+    algo = UCB1(n_arms=3)
+    trainer = MABTrainer(algo)
+    state = trainer.init()
+    rng = np.random.default_rng(0)
+    means = np.array([0.2, 0.8, 0.5])
+    for i in range(50):
+        actions = rng.integers(0, 3, size=16)
+        rewards = rng.binomial(1, means[actions]).astype(np.float32)
+        batch = CBInput(
+            context_arm_features=jnp.zeros((16, 3, 1)),
+            action=jnp.asarray(actions)[:, None],
+            reward=jnp.asarray(rewards)[:, None],
+        )
+        state, m = trainer.train_step(state, batch)
+    assert float(m["num_obs"]) == 800.0
+    scores = trainer.score(state)
+    assert int(jnp.argmax(algo.get_avg_reward_values(state))) == 1
+    assert int(jnp.argmax(scores)) == 1

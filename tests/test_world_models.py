@@ -158,3 +158,65 @@ def test_cem_trainer_ensemble():
     states = cem.init(jax.random.PRNGKey(0), batch)
     states, metrics = cem.train_step(states, batch)
     assert "wm0_loss" in metrics and "wm1_loss" in metrics
+
+
+def test_world_model_evaluators():
+    """Loss / feature-importance / action-sensitivity debug evaluators
+    (reference evaluation/world_model_evaluator.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.core.parameters import MDNRNNTrainerParameters
+    from reagent_tpu.evaluation.world_model_evaluator import (
+        FeatureImportanceEvaluator,
+        FeatureSensitivityEvaluator,
+        LossEvaluator,
+    )
+    from reagent_tpu.models.mdn_rnn import MemoryNetwork
+    from reagent_tpu.training.world_model.mdnrnn_trainer import MDNRNNTrainer
+
+    T, B, S, A = 6, 8, 3, 2
+    rng = jax.random.PRNGKey(0)
+    mn = MemoryNetwork(state_dim=S, action_dim=A, num_hiddens=16,
+                       num_hidden_layers=1, num_gaussians=2)
+    trainer = MDNRNNTrainer(mn, MDNRNNTrainerParameters(hidden_size=16, num_gaussians=2))
+    # next_state strongly depends on action feature 0; state feature 2 is noise
+    r1, r2, r3 = jax.random.split(rng, 3)
+    state = jax.random.normal(r1, (T, B, S))
+    action = jax.random.normal(r2, (T, B, A))
+    next_state = state * 0.5 + jnp.concatenate(
+        [action[..., :1]] * S, axis=-1
+    ) * 2.0 + 0.01 * jax.random.normal(r3, (T, B, S))
+    batch = rlt.MemoryNetworkInput(
+        state=rlt.FeatureData(float_features=state),
+        action=rlt.FeatureData(float_features=action),
+        next_state=rlt.FeatureData(float_features=next_state),
+        reward=jnp.zeros((T, B)),
+        not_terminal=jnp.ones((T, B)),
+        time_diff=None, step=None,
+    )
+    ts = trainer.init(rng, batch)
+    for _ in range(200):
+        ts, _ = trainer.train_step(ts, batch)
+
+    loss_ev = LossEvaluator(trainer, S)
+    losses = loss_ev.evaluate(ts.params, batch)
+    assert np.isfinite(losses["loss"])
+
+    fi = FeatureImportanceEvaluator(
+        trainer, discrete_action=False, state_feature_num=S, action_feature_num=A,
+        sorted_action_feature_start_indices=[0, 1],
+        sorted_state_feature_start_indices=[0, 1, 2],
+    )
+    imp = fi.evaluate(ts.params, batch)["feature_loss_increase"]
+    assert imp.shape == (A + S,)
+    # action feature 0 (drives next_state) must matter more than action feature 1
+    assert imp[0] > imp[1], imp
+
+    fs = FeatureSensitivityEvaluator(
+        trainer, state_feature_num=S, sorted_state_feature_start_indices=[0, 1, 2]
+    )
+    sens = fs.evaluate(ts.params, batch)["feature_sensitivity"]
+    assert sens.shape == (S,) and (sens > 0).all()
