@@ -7,7 +7,7 @@ annotation.  Here makers are explicit pure functions passed into the loop.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -92,4 +92,28 @@ def make_policy_network_batch(batch: Dict[str, Array]) -> rlt.PolicyNetworkInput
         step=batch["step"].reshape(B, 1),
         not_terminal=1.0 - terminal,
         extras=rlt.ExtraData(),
+    )
+
+
+def make_trainer_preprocessor(trainer, num_actions: Optional[int] = None):
+    """Pick the batch maker from the trainer's train_step batch annotation.
+
+    Reference: gym/preprocessors/trainer_preprocessor.py:32-57 — inspects the
+    training-batch type hint and dispatches to the matching input maker.
+    """
+    import typing
+
+    hints = typing.get_type_hints(type(trainer).train_step)
+    batch_type = hints.get("batch")
+    name = getattr(batch_type, "__name__", str(batch_type))
+    if name == "DiscreteDqnInput":
+        assert num_actions is not None, "DiscreteDqnInput needs num_actions"
+        return lambda d: make_discrete_dqn_batch(d, num_actions)
+    if name == "ParametricDqnInput":
+        assert num_actions is not None, "ParametricDqnInput needs num_actions"
+        return lambda d: make_parametric_dqn_batch(d, num_actions)
+    if name == "PolicyNetworkInput":
+        return make_policy_network_batch
+    raise NotImplementedError(
+        f"no batch maker for trainer {type(trainer).__name__} (batch: {name})"
     )

@@ -22,6 +22,7 @@ class FullyConnectedDQN(nn.Module):
     use_batch_norm: bool = False
     dropout_ratio: float = 0.0
     use_layer_norm: bool = False
+    use_skip_connections: bool = False
 
     @nn.compact
     def __call__(self, state: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -32,6 +33,7 @@ class FullyConnectedDQN(nn.Module):
             use_batch_norm=self.use_batch_norm,
             dropout_ratio=self.dropout_ratio,
             use_layer_norm=self.use_layer_norm,
+            use_skip_connections=self.use_skip_connections,
         )
         return net(state, training=training)
 

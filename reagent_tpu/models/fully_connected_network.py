@@ -9,7 +9,7 @@ use the reference's gaussian-fill-w-gain init for parity of learning dynamics.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,7 @@ class FullyConnectedNetwork(nn.Module):
     use_layer_norm: bool = False
     normalize_output: bool = False
     orthogonal_init: bool = False
+    use_skip_connections: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -54,6 +55,7 @@ class FullyConnectedNetwork(nn.Module):
         h = x
         n_layers = len(self.sizes) - 1
         for i in range(n_layers):
+            h_in = h
             out_dim = self.sizes[i + 1]
             act_name = self.activations[i]
             if self.use_batch_norm:
@@ -74,6 +76,10 @@ class FullyConnectedNetwork(nn.Module):
             h = ACTIVATIONS[act_name](h)
             if self.dropout_ratio > 0.0 and (not is_last):
                 h = nn.Dropout(rate=self.dropout_ratio, deterministic=not training)(h)
+            # residual connection when shapes allow (ref models/residual_wrapper.py,
+            # fully_connected_network.py use_skip_connections)
+            if self.use_skip_connections and h_in.shape[-1] == h.shape[-1]:
+                h = h + h_in
         return h
 
 
@@ -99,3 +105,26 @@ class FloatFeatureFullyConnected(nn.Module):
             use_layer_norm=self.use_layer_norm,
         )
         return net(x, training=training)
+
+
+class ResidualWrapper(nn.Module):
+    """x + module(x) (reference models/residual_wrapper.py:6-22)."""
+
+    module: nn.Module
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        return x + self.module(x, *args, **kwargs)
+
+
+class Sequential(nn.Module):
+    """Module chain accepting FeatureData-aware blocks (reference
+    models/containers.py Sequential)."""
+
+    layers: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        for layer in self.layers:
+            x = layer(x)
+        return x

@@ -99,3 +99,69 @@ def test_bcq_masking():
     masked = bcq_mask_q_values(q, logits, drop_threshold=0.1)
     assert np.asarray(masked)[0, 1] < -1e30
     assert np.asarray(masked)[0, 0] == 1.0
+
+
+def test_residual_and_sequential_wrappers():
+    """ResidualWrapper / Sequential / use_skip_connections
+    (reference models/residual_wrapper.py, models/containers.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reagent_tpu.models.fully_connected_network import (
+        FullyConnectedNetwork,
+        ResidualWrapper,
+        Sequential,
+    )
+
+    net = FullyConnectedNetwork(
+        sizes=[4, 8, 8, 2], activations=["relu", "relu", "linear"],
+        use_skip_connections=True,
+    )
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    assert net.apply(p, jnp.ones((2, 4))).shape == (2, 2)
+
+    inner = FullyConnectedNetwork(sizes=[4, 4], activations=["relu"])
+    rw = ResidualWrapper(module=inner)
+    p = rw.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    x = jnp.ones((1, 4))
+    expected = x + inner.apply({"params": p["params"]["module"]}, x)
+    np.testing.assert_allclose(np.asarray(rw.apply(p, x)), np.asarray(expected), rtol=1e-6)
+
+    seq = Sequential(layers=(
+        FullyConnectedNetwork(sizes=[4, 8], activations=["relu"]),
+        FullyConnectedNetwork(sizes=[8, 2], activations=["linear"]),
+    ))
+    p = seq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    assert seq.apply(p, jnp.ones((3, 4))).shape == (3, 2)
+
+
+def test_trainer_preprocessor_dispatch():
+    """Signature-driven batch-maker dispatch (ref trainer_preprocessor.py:32-57)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.gym.preprocessors import make_trainer_preprocessor
+    from reagent_tpu.models import FullyConnectedCritic, FullyConnectedDQN
+    from reagent_tpu.models.actor import GaussianFullyConnectedActor
+    from reagent_tpu.training import DQNTrainer
+    from reagent_tpu.training.sac_trainer import SACTrainer
+
+    q = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[8], activations=["relu"])
+    mk = make_trainer_preprocessor(DQNTrainer(q_network=q, rl=RLParameters()), num_actions=2)
+    batch = mk({
+        "state": jnp.zeros((2, 4)), "action": jnp.zeros(2, jnp.int32),
+        "next_action": jnp.zeros(2, jnp.int32), "reward": jnp.ones(2),
+        "next_state": jnp.zeros((2, 4)), "terminal": jnp.zeros(2, bool),
+        "step": jnp.ones(2, jnp.int32),
+    })
+    assert type(batch).__name__ == "DiscreteDqnInput"
+
+    actor = GaussianFullyConnectedActor(state_dim=3, action_dim=1, sizes=[8], activations=["relu"])
+    c = FullyConnectedCritic(state_dim=3, action_dim=1, sizes=[8], activations=["relu"])
+    mk2 = make_trainer_preprocessor(SACTrainer(actor_network=actor, q1_network=c))
+    assert mk2.__name__ == "make_policy_network_batch"
+
+    with pytest.raises(AssertionError):
+        make_trainer_preprocessor(DQNTrainer(q_network=q, rl=RLParameters()))
