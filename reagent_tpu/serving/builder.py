@@ -78,6 +78,8 @@ class DecisionPlanBuilder:
         }
 
 
-def export_plan(builder: DecisionPlanBuilder, path: str) -> None:
+def export_plan(builder, path: str) -> None:
+    """Write a plan (builder or already-built dict) as JSON for the service."""
+    plan = builder.build() if hasattr(builder, "build") else builder
     with open(path, "w") as f:
-        json.dump(builder.build(), f, indent=2)
+        json.dump(plan, f, indent=2)

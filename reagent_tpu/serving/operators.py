@@ -51,8 +51,8 @@ class EpsilonGreedyRanker(DecisionOperator):
 class Frechet(DecisionOperator):
     op_name = "Frechet"
 
-    def __init__(self, values: Any = None, rho: float = 1.0):
-        super().__init__(values=values, rho=rho)
+    def __init__(self, values: Any = None, rho: float = 1.0, gamma: float = 1.0):
+        super().__init__(values=values, rho=rho, gamma=gamma)
 
 
 class Expression(DecisionOperator):

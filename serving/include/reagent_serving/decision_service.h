@@ -123,6 +123,21 @@ class DecisionService {
         a.propensity = ranked[i].at("propensity").asDouble();
         response.actions.push_back(a);
       }
+    } else if (ranked.isObject()) {
+      // terminal operator emitted a score map (e.g. Softmax as root):
+      // rank by score descending, scores serve as propensities
+      std::vector<std::pair<std::string, double>> scored;
+      for (const auto& kv : ranked.asObject()) {
+        scored.emplace_back(kv.first, kv.second.asDouble());
+      }
+      std::sort(scored.begin(), scored.end(),
+                [](const auto& a, const auto& b) { return a.second > b.second; });
+      for (size_t i = 0; i < scored.size() && static_cast<int>(i) < n; ++i) {
+        ActionDetails a;
+        a.name = scored[i].first;
+        a.propensity = scored[i].second;
+        response.actions.push_back(a);
+      }
     }
     response.durationMs =
         std::chrono::duration<double, std::milli>(
