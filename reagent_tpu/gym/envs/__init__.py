@@ -17,6 +17,7 @@ from reagent_tpu.gym.envs.extra import (
 from reagent_tpu.gym.envs.pomdp import PocManEnv, ToyVMEnv
 from reagent_tpu.gym.envs.oracle_pvm import OraclePVM
 from reagent_tpu.gym.envs.state_embed import StateEmbedEnv
+from reagent_tpu.gym.envs.functionality import PossibleActionsMaskTester
 
 __all__ = [
     "CartPole",
@@ -33,4 +34,5 @@ __all__ = [
     "ToyVMEnv",
     "OraclePVM",
     "StateEmbedEnv",
+    "PossibleActionsMaskTester",
 ]

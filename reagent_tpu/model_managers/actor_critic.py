@@ -193,6 +193,7 @@ class SAC(ActorCriticBase):
             alpha_optimizer=tp.get("alpha_optimizer", "default"),
             entropy_temperature=tp.get("entropy_temperature", 0.2),
             target_entropy=tp.get("target_entropy", -1.0),
+            crr_config=tp.get("crr_config"),
         )
 
 

@@ -10,6 +10,7 @@ averages inside the same XLA program.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Optional, Tuple
 
@@ -26,6 +27,32 @@ from reagent_tpu.optim import make_optimizer, soft_update
 Array = jax.Array
 LOG_PROB_MIN = -2.0
 LOG_PROB_MAX = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CRRWeightFn:
+    """Advantage -> actor-loss weight (reference parameters.py CRRWeightFn;
+    sac_trainer.py:269-277 uses it for continuous CRR)."""
+
+    indicator_fn_threshold: Optional[float] = None
+    exponent_beta: Optional[float] = None
+    exponent_clamp: Optional[float] = None
+
+    def __post_init__(self):
+        # `is not None`: a 0.0 indicator threshold (advantage >= 0) is valid
+        # (the reference's truthiness check rejects it)
+        has_beta = self.exponent_beta is not None
+        has_thresh = self.indicator_fn_threshold is not None
+        assert has_beta or has_thresh
+        assert not (has_beta and has_thresh)
+
+    def get_weight_from_advantage(self, advantage: Array) -> Array:
+        if self.exponent_beta is not None:
+            w = jnp.exp(advantage / self.exponent_beta)
+            if self.exponent_clamp:
+                w = jnp.clip(w, 0.0, self.exponent_clamp)
+            return w
+        return (advantage >= self.indicator_fn_threshold).astype(jnp.float32)
 
 
 @struct.dataclass
@@ -62,6 +89,7 @@ class SACTrainer:
         entropy_temperature: float = 0.2,
         target_entropy: float = -1.0,
         backprop_through_log_prob: bool = True,
+        crr_config: Optional[CRRWeightFn] = None,
     ) -> None:
         self.actor_network = actor_network
         self.q1_network = q1_network
@@ -80,6 +108,11 @@ class SACTrainer:
         self.entropy_temperature = entropy_temperature
         self.target_entropy = target_entropy
         self.backprop_through_log_prob = backprop_through_log_prob
+        if isinstance(crr_config, dict):
+            crr_config = CRRWeightFn(**crr_config)
+        self.crr_config = crr_config
+        if crr_config is not None:
+            assert value_network is not None, "continuous CRR needs a value net"
 
     def init(self, rng: Array, obs_proto: Array, action_proto: Array) -> SACTrainerState:
         r_actor, r_q1, r_q2, r_v, r_state = jax.random.split(rng, 5)
@@ -176,7 +209,25 @@ class SACTrainer:
             log_prob = jnp.clip(out.log_prob, LOG_PROB_MIN, LOG_PROB_MAX)
             if not self.backprop_through_log_prob:
                 log_prob = jax.lax.stop_gradient(log_prob)
-            loss = jnp.mean(alpha * log_prob - min_q)
+            if self.crr_config is not None:
+                # continuous CRR (Wang et al. 2020): advantage-weighted
+                # regression toward the LOGGED action, A = Q(s, a_log) - V(s)
+                # (ref sac_trainer.py:269-277; the advantage/value machinery
+                # is identical, the regression target is the replay action)
+                q_logged = self.q1_network.apply(state.q1_params, obs, action)
+                if self.q2_network is not None:
+                    q_logged = jnp.minimum(
+                        q_logged, self.q2_network.apply(state.q2_params, obs, action)
+                    )
+                cur_value = self.value_network.apply(state.value_params, obs)
+                advantage = jax.lax.stop_gradient(q_logged - cur_value)
+                crr_weight = self.crr_config.get_weight_from_advantage(advantage)
+                logged_lp = self.actor_network.apply(
+                    a_params, obs, action, method="get_log_prob"
+                )
+                loss = -jnp.mean(logged_lp * jax.lax.stop_gradient(crr_weight))
+            else:
+                loss = jnp.mean(alpha * log_prob - min_q)
             return loss, out
 
         (actor_loss, actor_out), actor_grads = jax.value_and_grad(

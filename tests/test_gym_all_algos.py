@@ -146,7 +146,7 @@ def test_parametric_dqn_cartpole():
 
 
 def _run_continuous(env, trainer, actor_apply, num_steps, action_scale, seed=0,
-                    minibatch=256):
+                    minibatch=256, prefill=1000):
     rb = ReplayBuffer(replay_capacity=50000, update_horizon=1, gamma=trainer.gamma)
     rng = jax.random.PRNGKey(seed)
     ri, rf, rt, re = jax.random.split(rng, 4)
@@ -156,7 +156,7 @@ def _run_continuous(env, trainer, actor_apply, num_steps, action_scale, seed=0,
         action=jnp.zeros(env.action_dim),
         reward=jnp.float32(0), terminal=jnp.bool_(False),
     )
-    rbs = prefill_replay_buffer(env, rb, rbs, rf, num_steps=1000)
+    rbs = prefill_replay_buffer(env, rb, rbs, rf, num_steps=prefill)
 
     ts, rbs, aux = run_online_training(
         env, trainer, ts, rb, rbs, actor_apply, make_policy_network_batch, rt,
@@ -221,3 +221,66 @@ def test_td3_pendulum():
     mean_r = _run_continuous(env, trainer, policy_act, num_steps=12000, action_scale=2.0)
     print(f"TD3 pendulum eval: {mean_r}")
     assert mean_r >= -750.0
+
+
+@pytest.mark.slow
+def test_continuous_crr_pendulum():
+    """continuous_crr_pendulum_online.yaml: SAC trainer + CRR weight fn, bar -500."""
+    from reagent_tpu.models import ValueNetwork
+    from reagent_tpu.training.sac_trainer import CRRWeightFn
+
+    env = Pendulum()
+    actor = GaussianFullyConnectedActor(
+        state_dim=3, action_dim=1, sizes=[64, 64], activations=["leaky_relu", "leaky_relu"]
+    )
+    q1 = FullyConnectedCritic(state_dim=3, action_dim=1, sizes=[64, 64], activations=["leaky_relu", "leaky_relu"])
+    value = ValueNetwork(state_dim=3, sizes=[64, 64], activations=["leaky_relu", "leaky_relu"])
+    trainer = SACTrainer(
+        actor, q1, value_network=value,
+        rl=RLParameters(gamma=0.99, target_update_rate=0.005),
+        q_network_optimizer={"Adam": {"lr": 3e-3}},
+        actor_network_optimizer={"Adam": {"lr": 3e-3}},
+        value_network_optimizer={"Adam": {"lr": 3e-3}},
+        entropy_temperature=0.3,
+        crr_config=CRRWeightFn(exponent_beta=1.0, exponent_clamp=20.0),
+    )
+
+    def policy_act(ts, obs, rng):
+        out = trainer.actor_network.apply(ts.actor_params, obs[None], rng)
+        return out.action[0] * 2.0, out.action[0]
+
+    # reference: 10k random prefill (train_after_ts), then 40 eps x 200 steps
+    mean_r = _run_continuous(env, trainer, policy_act, num_steps=8000,
+                             action_scale=2.0, prefill=10000)
+    print(f"continuous CRR pendulum eval: {mean_r}")
+    assert mean_r >= -500.0
+
+
+@pytest.mark.slow
+def test_parametric_sarsa_cartpole():
+    """parametric_sarsa_cartpole_online.yaml: on-policy targets, bar 100."""
+    env = CartPole(max_steps=200)
+    q_net = FullyConnectedCritic(
+        state_dim=4, action_dim=2, sizes=[128, 64],
+        activations=["leaky_relu", "leaky_relu"],
+    )
+    trainer = ParametricDQNTrainer(
+        q_network=q_net,
+        rl=RLParameters(gamma=0.99, target_update_rate=0.1, maxq_learning=False),
+        optimizer={"Adam": {"lr": 0.001, "amsgrad": True}},
+    )
+
+    def q_values(ts, obs):
+        B = obs.shape[0]
+        eye = jnp.eye(2)
+        tiled_obs = jnp.repeat(obs, 2, axis=0)
+        q = trainer.q_network.apply(ts.q_params, tiled_obs, jnp.tile(eye, (B, 1)))
+        return q.reshape(B, 2)
+
+    mean_r = _run_discrete(
+        env, trainer, q_values, lambda d: make_parametric_dqn_batch(d, 2),
+        num_steps=20000, minibatch=512, prefill=10000,
+        init_protos=(jnp.zeros((1, 4)), jnp.zeros((1, 2))),
+    )
+    print(f"parametric SARSA cartpole eval: {mean_r}")
+    assert mean_r >= 100.0

@@ -174,3 +174,37 @@ def test_reinforce_cartpole_e2e():
     mean_eval = float(np.mean(np.asarray(evals)))
     print(f"REINFORCE cartpole eval: {mean_eval}, last-train {np.mean(returns[-20:]):.0f}")
     assert mean_eval >= 180.0
+
+
+@pytest.mark.slow
+def test_ppo_cartpole_e2e():
+    """Mirrors discrete_ppo_cartpole_online.yaml (bar 180 on v0/200 steps)."""
+    from reagent_tpu.training.ppo_trainer import PPOTrainer
+
+    env = CartPole(max_steps=200)
+    # reference hyperparams (discrete_ppo_cartpole_online.yaml): [32, 32]
+    # leaky_relu net, Adam lr 1e-3 wd 1e-3, ppo_epsilon 0.2, 1 update epoch
+    scorer = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[32, 32],
+                               activations=["leaky_relu", "leaky_relu"])
+    sampler = SoftmaxActionSampler(temperature=1.0)
+    trainer = PPOTrainer(
+        scorer=scorer, sampler=sampler, gamma=0.99,
+        optimizer={"Adam": {"lr": 1e-3, "weight_decay": 1e-3}},
+        ppo_epsilon=0.2, update_epochs=1, normalize=True, subtract_mean=True,
+    )
+    state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    step = make_episodic_trainer_step(env, scorer.apply, sampler, trainer, max_steps=200)
+    rng = jax.random.PRNGKey(1)
+    returns = []
+    for i in range(700):
+        rng, r = jax.random.split(rng)
+        state, ep_ret, _ = step(state, r)
+        returns.append(float(ep_ret))
+
+    def greedy_act(ts, obs, rng):
+        return jnp.argmax(scorer.apply(ts.policy_params, obs[None])[0]).astype(jnp.int32)
+
+    evals = evaluate_policy(env, greedy_act, state, jax.random.PRNGKey(2), num_episodes=20)
+    mean_eval = float(np.mean(np.asarray(evals)))
+    print(f"PPO cartpole eval: {mean_eval}, last-train {np.mean(returns[-20:]):.0f}")
+    assert mean_eval >= 180.0

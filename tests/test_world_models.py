@@ -220,3 +220,71 @@ def test_world_model_evaluators():
     )
     sens = fs.evaluate(ts.params, batch)["feature_sensitivity"]
     assert sens.shape == (S,) and (sens > 0).all()
+
+
+@pytest.mark.slow
+def test_cem_linear_dynamics_offline_e2e():
+    """CEM planning on LinDyna beats the -2.5 bar
+    (cem_single_world_model_linear_dynamics_offline.yaml)."""
+    import numpy as np
+
+    from reagent_tpu.gym.envs import LinDyna
+    from reagent_tpu.models.cem_planner import CEMPlannerNetwork
+
+    env = LinDyna()
+    S_, A_ = env.observation_dim, env.action_dim
+    rng = jax.random.PRNGKey(0)
+
+    # offline corpus: random rollouts as [T, B, ·] sequences
+    def rollout(r):
+        st, obs = env.reset(r)
+        def step(carry, rr):
+            st, obs = carry
+            u = jax.random.uniform(rr, (A_,), minval=-1.0, maxval=1.0)
+            nst, nobs, rew, done = env.step(st, u, rr)
+            return (nst, nobs), (obs, u, nobs, rew, 1.0 - done)
+        _, seq = jax.lax.scan(step, (st, obs), jax.random.split(r, env.max_steps))
+        return seq
+
+    obs, act, nobs, rew, nt = jax.vmap(rollout, out_axes=1)(jax.random.split(rng, 512))
+    batch = rlt.MemoryNetworkInput(
+        state=rlt.FeatureData(float_features=obs),
+        action=rlt.FeatureData(float_features=act),
+        next_state=rlt.FeatureData(float_features=nobs),
+        reward=rew, not_terminal=nt, time_diff=None, step=None,
+    )
+    mn = MemoryNetwork(state_dim=S_, action_dim=A_, num_hiddens=100,
+                       num_hidden_layers=2, num_gaussians=1)
+    trainer = MDNRNNTrainer(mn, MDNRNNTrainerParameters(
+        hidden_size=100, num_hidden_layers=2, num_gaussians=1,
+        learning_rate=1e-3, not_terminal_loss_weight=0.0))
+    ts = trainer.init(rng, batch)
+    for i in range(400):
+        ts, m = trainer.train_step(ts, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    planner = CEMPlannerNetwork(
+        mem_net=mn, mem_net_params_list=[ts.params],
+        cem_num_iterations=10, cem_population_size=100,
+        ensemble_population_size=1, num_elites=15,
+        plan_horizon_length=4, state_dim=S_, action_dim=A_,
+        discrete_action=False, terminal_effective=False, gamma=1.0,
+        action_upper_bounds=np.ones(A_), action_lower_bounds=-np.ones(A_),
+    )
+
+    # evaluate planned actions in the real env
+    returns = []
+    r_eval = jax.random.PRNGKey(7)
+    for ep in range(5):
+        r_eval, r0 = jax.random.split(r_eval)
+        st, obs = env.reset(r0)
+        total = 0.0
+        for t in range(env.max_steps):
+            r_eval, rp, rs = jax.random.split(r_eval, 3)
+            u = planner(rlt.FeatureData(float_features=obs[None]), rp)
+            st, obs, rew, done = env.step(st, jnp.asarray(u).reshape(-1), rs)
+            total += float(rew)
+        returns.append(total)
+    mean_ret = float(np.mean(returns))
+    print(f"CEM LinDyna eval: {mean_ret} (bar -2.5)")
+    assert mean_ret >= -2.5
