@@ -80,3 +80,37 @@ def test_slate_benchmark_pi_beats_ips_variance():
     assert pi.estimated_reward_std_error < 0.3 * res["ips"].estimated_reward_std_error
     # benchmark non-trivial: logged reward far from target value
     assert abs(res["ips"].log_reward - gt) > 0.2 * gt
+
+
+def test_web_search_click_log_pipeline():
+    """Yandex-style harness: click logs -> aggregated relevances -> slate OPE."""
+    from reagent_tpu.ope.test.web_search import (
+        WebSearchDataset,
+        click_to_relevances,
+        evaluate_web_search,
+        generate_client_logs,
+        load_logged_queries,
+    )
+
+    # dwell-time grading thresholds (reference yandex_web_search.py:61-75)
+    pos, url = click_to_relevances([(0, 500), (2, 100), (3, 10)], [7, 8, 9, 11])
+    assert pos[0] == 2.0 and pos[2] == 1.0 and pos[3] == 0.0
+    assert url[7] == 2.0 and url[9] == 1.0 and url[11] == 0.0
+
+    logs = generate_client_logs(num_queries=30, num_users=150, seed=3)
+    queries = load_logged_queries(logs)
+    assert len(queries) >= 20  # most queries exceed MIN_QUERY_COUNT
+    assert all(q.count >= 10 for q in queries)
+
+    ds = WebSearchDataset.from_training_queries(queries, num_urls_per_query=12)
+    res = evaluate_web_search(ds, seed=4)
+    gt = res["ips"].ground_truth_reward
+    for name in ("ips", "pbm", "pseudo_inverse"):
+        est = res[name].estimated_reward
+        assert np.isfinite(est)
+        assert abs(est - gt) < 0.35 * abs(gt), (name, est, gt)
+    # PBM/PI exploit position structure: lower variance than raw IPS
+    assert (
+        res["pseudo_inverse"].estimated_reward_std_error
+        <= res["ips"].estimated_reward_std_error
+    )
