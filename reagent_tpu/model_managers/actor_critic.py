@@ -142,8 +142,17 @@ class ActorCriticBase(ModelManager):
 
         state_norm = normalization_data_map[NormalizationKey.STATE]
         pre = Preprocessor(state_norm.dense_normalization_parameters)
+        # rescale the tanh-squashed [-1, 1] action back to serving units
+        # (reference actor_critic_base.py:282 passes the action postprocessor)
+        post = None
+        action_norm = normalization_data_map.get(NormalizationKey.ACTION)
+        if action_norm is not None:
+            from reagent_tpu.preprocessing.postprocessor import Postprocessor
+
+            post = Postprocessor(action_norm.dense_normalization_parameters)
         wrapped = ActorWithPreprocessor(
-            trainer.actor_network, trainer_state.actor_params, pre
+            trainer.actor_network, trainer_state.actor_params, pre,
+            action_postprocessor=post,
         )
         return ActorPredictorWrapper(wrapped)
 

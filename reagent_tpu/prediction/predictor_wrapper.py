@@ -234,6 +234,10 @@ class ActorPredictorWrapper:
             "module": self.model.actor_network,
             "params": jax.tree_util.tree_map(np.asarray, self.model.actor_params),
         }
+        if self.model.action_postprocessor is not None:
+            payload["action_normalization"] = serialize(
+                self.model.action_postprocessor.normalization_parameters
+            )
         with open(os.path.join(path, "actor.pkl"), "wb") as f:
             pickle.dump(payload, f)
 
@@ -248,12 +252,17 @@ class ActorPredictorWrapper:
 
         pre = Preprocessor(deserialize(payload["normalization"]))
         module, params = payload["module"], payload["params"]
+        post = None
+        if "action_normalization" in payload:
+            from reagent_tpu.preprocessing.postprocessor import Postprocessor
+
+            post = Postprocessor(deserialize(payload["action_normalization"]))
 
         @jax.jit
         def _fwd(values, presence):
             obs = pre(values, presence)
             out = module.apply(params, obs)
-            return out.action
+            return post._forward(out.action) if post is not None else out.action
 
         def forward(values, presence):
             return np.asarray(_fwd(jnp.asarray(values), jnp.asarray(presence)))
@@ -268,41 +277,47 @@ def load_predictor(path: str):
     and returning the model head (scores for DQN, action for actors).
     """
     with open(os.path.join(path, "manifest.json")) as f:
-        model_type = json.load(f).get("model_type", "discrete_dqn")
+        manifest = json.load(f)
+    model_type = manifest.get("model_type", "discrete_dqn")
     if model_type == "actor":
         fwd = ActorPredictorWrapper.load(path)
+        import pickle
+
+        with open(os.path.join(path, "actor.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        from reagent_tpu.preprocessing.normalization import deserialize
+
+        sorted_features = Preprocessor(
+            deserialize(payload["normalization"])
+        ).sorted_features
 
         def predict_actor(features: Dict[int, float]):
-            fids = sorted(int(k) for k in features)
-            # dense row in the preprocessor's sorted-feature order
-            import pickle
-
-            with open(os.path.join(path, "actor.pkl"), "rb") as f:
-                payload = pickle.load(f)
-            from reagent_tpu.preprocessing.normalization import deserialize
-
-            pre = Preprocessor(deserialize(payload["normalization"]))
             values = np.array(
-                [[features.get(f, 0.0) for f in pre.sorted_features]], np.float32
+                [[features.get(f, 0.0) for f in sorted_features]], np.float32
             )
-            presence = np.array(
-                [[f in features for f in pre.sorted_features]], np.bool_
-            )
+            presence = np.array([[f in features for f in sorted_features]], np.bool_)
             return fwd(values, presence)
 
-        return type("Predictor", (), {"predict": staticmethod(predict_actor)})()
+        return type(
+            "Predictor",
+            (),
+            {"predict": staticmethod(predict_actor), "model_type": "actor"},
+        )()
     fwd = DiscreteDqnPredictorWrapper.load(path)
+    sorted_features = manifest["sorted_features"]
 
     def predict_dqn(features: Dict[int, float]):
-        with open(os.path.join(path, "manifest.json")) as f:
-            sorted_features = json.load(f)["sorted_features"]
         values = np.array(
             [[features.get(f, 0.0) for f in sorted_features]], np.float32
         )
         presence = np.array([[f in features for f in sorted_features]], np.bool_)
         return fwd(values, presence)
 
-    return type("Predictor", (), {"predict": staticmethod(predict_dqn)})()
+    return type(
+        "Predictor",
+        (),
+        {"predict": staticmethod(predict_dqn), "model_type": model_type},
+    )()
 
 
 class CategoricalDqnPredictorWrapper:

@@ -27,6 +27,7 @@ class Postprocessor:
     def __init__(
         self, normalization_parameters: Dict[int, NormalizationParameters]
     ) -> None:
+        self.normalization_parameters = normalization_parameters
         self.num_output_features = get_num_output_features(normalization_parameters)
         feature_types = {p.feature_type for p in normalization_parameters.values()}
         assert len(feature_types) == 1, (

@@ -94,20 +94,29 @@ def evaluate_gym(
     max_steps: Optional[int] = None,
     seed: int = 0,
 ) -> float:
-    """Load the exported serving artifact, run greedy episodes (reference :173-220)."""
-    from reagent_tpu.prediction.predictor_wrapper import DiscreteDqnPredictorWrapper
+    """Load the exported serving artifact, run greedy episodes.
 
-    predictor = DiscreteDqnPredictorWrapper.load(model_path)
+    Dispatches on the artifact's model_type (discrete DQN → argmax over
+    action scores; actor → continuous action), like the reference's
+    create_predictor_policy_from_model (gym_batch_rl.py:173-220,
+    gym/policies/predictor_policies.py:24-60).
+    """
+    from reagent_tpu.prediction.predictor_wrapper import load_predictor
+
+    predictor = load_predictor(model_path)
+    continuous = getattr(predictor, "model_type", "discrete_dqn") == "actor"
     env = Gym(env_name=env_name, set_max_steps=max_steps)
     returns = []
     for ep in range(num_eval_episodes):
         obs = env.reset(seed=seed + ep)
         total, done = 0.0, False
         while not done:
-            values = np.asarray(obs, np.float32)[None, :]
-            presence = np.ones_like(values)
-            _, q = predictor(values, presence)
-            action = int(np.argmax(q[0]))
+            features = {i: float(v) for i, v in enumerate(np.asarray(obs).reshape(-1))}
+            if continuous:
+                action = np.asarray(predictor.predict(features)).reshape(-1)
+            else:
+                _, q = predictor.predict(features)
+                action = int(np.argmax(np.asarray(q).reshape(-1)))
             obs, reward, done = env.step(action)
             total += reward
         returns.append(total)
