@@ -61,6 +61,9 @@ def reagent() -> None:
 def run(workflow: str, config_file, extra_options, verbose) -> None:
     """Reference cli.py:63-82."""
     _setup_logging(verbose)
+    from reagent_tpu.core import debug_on_error
+
+    debug_on_error.start()  # reference cli.py:22-24
     func = _resolve(workflow)
     config = yaml.safe_load(config_file) or {}
     if extra_options:
