@@ -25,13 +25,22 @@ def _unjit(f: Callable) -> Callable:
     return getattr(f, "__wrapped__", f)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OnlineLoopConfig:
     num_steps: int
     train_every: int = 1
     train_after: int = 0
     minibatch_size: int = 512
     episode_return_buffer: int = 64  # ring of most recent episode returns
+
+
+# Compiled-runner cache: run_online_training builds a jitted closure; without
+# this, every invocation re-traces and re-compiles the full scan program
+# (seconds for long loops) even when (env, trainer, rb, config) are unchanged.
+# Values hold strong refs to the keyed objects so ids can't be recycled onto
+# a different object while its entry is alive; FIFO-capped.
+_RUNNER_CACHE: dict = {}
+_RUNNER_CACHE_MAX = 32
 
 
 def prefill_replay_buffer(
@@ -100,6 +109,14 @@ def run_online_training(
     Returns (trainer_state, rb_state, aux) where aux carries the ring of
     recent episode returns and per-step td-loss history.
     """
+
+    cache_key = (id(env), id(trainer), id(rb), id(policy_act), id(batch_maker), config)
+    cached = _RUNNER_CACHE.get(cache_key)
+    if cached is not None:
+        run, _refs = cached
+        rng, r0 = jax.random.split(rng)
+        env_state, obs = env.reset(r0)
+        return run(env_state, obs, rb_state, trainer_state, rng)
 
     add_fn = _unjit(type(rb).add)
     sample_fn = _unjit(type(rb).sample)
@@ -180,6 +197,9 @@ def run_online_training(
             "td_losses": td_losses,
         }
 
+    while len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+        _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+    _RUNNER_CACHE[cache_key] = (run, (env, trainer, rb, policy_act, batch_maker))
     return run(env_state, obs, rb_state, trainer_state, rng)
 
 

@@ -20,6 +20,10 @@ from reagent_tpu.models.linear_regression import (
     LinearRegressionUCB,
 )
 from reagent_tpu.models.deep_represent_linucb import DeepRepresentLinearRegressionUCB
+from reagent_tpu.models.synthetic_reward_sparse import (
+    SparseArchSyntheticRewardNet,
+    SyntheticRewardSparseArchNet,
+)
 
 __all__ = [
     "FullyConnectedNetwork",

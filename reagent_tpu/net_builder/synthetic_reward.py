@@ -128,3 +128,46 @@ class TransformerSyntheticReward:
                 last_layer_activation=self.last_layer_activation,
             )
         )
+
+
+@SYNTHETIC_REWARD_NET_BUILDERS.register()
+@dataclasses.dataclass
+class SparseArchSyntheticReward:
+    """Dense+sparse DLRM-interaction synthetic reward (reference
+    models/synthetic_reward_sparse_arch.py via its net builder)."""
+
+    dense_sizes: List[int] = dataclasses.field(default_factory=lambda: [64, 16])
+    dense_activations: List[str] = dataclasses.field(
+        default_factory=lambda: ["relu", "relu"]
+    )
+    overall_sizes: List[int] = dataclasses.field(default_factory=lambda: [32])
+    overall_activations: List[str] = dataclasses.field(default_factory=lambda: ["relu"])
+    embedding_configs: List[List] = dataclasses.field(default_factory=list)
+    last_layer_activation: str = "sigmoid"
+
+    def build_synthetic_reward_network(
+        self, state_normalization_data=None, action_normalization_data=None,
+        discrete_action_names=None, state_dim=None, action_dim=None,
+    ):
+        from reagent_tpu.models.synthetic_reward_sparse import (
+            SparseArchSyntheticRewardNet,
+            SyntheticRewardSparseArchNet,
+        )
+
+        sd = state_dim_of(state_normalization_data, state_dim)
+        ad = (
+            len(discrete_action_names)
+            if discrete_action_names
+            else state_dim_of(action_normalization_data, action_dim)
+        )
+        return SyntheticRewardSparseArchNet(
+            net=SparseArchSyntheticRewardNet(
+                state_dim=sd, action_dim=ad,
+                dense_sizes=list(self.dense_sizes),
+                dense_activations=list(self.dense_activations),
+                overall_sizes=list(self.overall_sizes),
+                overall_activations=list(self.overall_activations),
+                embedding_configs=tuple(tuple(c) for c in self.embedding_configs),
+                last_layer_activation=self.last_layer_activation,
+            )
+        )

@@ -226,6 +226,27 @@ class ReplayBuffer:
         O(capacity/block + B*block) work.  Exactly uniform.
         """
         cap = self._capacity
+        if self._stack_size == 1:
+            # O(B) closed form: with no stack padding, the invalid written
+            # region is exactly the trailing t entries of the current
+            # unterminated episode, t = min(episode_len, H) (0 right after a
+            # terminal — `add` validates the whole tail then).  Valid indices
+            # are the contiguous circular range ending t+1 before the cursor,
+            # so uniform sampling needs no O(capacity) validity cumsum.
+            cur = state.add_count % cap
+            written = jnp.minimum(state.add_count, cap)
+            last_terminal = jnp.logical_or(
+                state.add_count == 0,
+                state.store["terminal"][(state.add_count - 1) % cap],
+            )
+            t = jnp.where(
+                last_terminal,
+                0,
+                jnp.minimum(state.episode_len, self._update_horizon),
+            )
+            valid_count = jnp.maximum(written - t, 1)
+            u = jax.random.randint(rng, (batch_size,), 0, valid_count)
+            return ((cur - t - 1 - u) % cap).astype(jnp.int32)
         # largest power-of-two block (<=512) dividing capacity; e.g. 100000 -> 32
         block = next((b for b in (512, 256, 128, 64, 32) if cap % b == 0), 0)
         if block == 0 or cap <= block:

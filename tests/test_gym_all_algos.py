@@ -107,9 +107,11 @@ def test_qrdqn_cartpole():
         rl=RLParameters(gamma=0.9, target_update_rate=0.05),
         optimizer={"Adam": {"lr": 0.001, "amsgrad": True}},
     )
+    # reference config collects 20k random steps before training starts
+    # (discrete_qr_cartpole_online.yaml: train_after_ts: 20000)
     mean_r = _run_discrete(
         env, trainer, trainer.q_values, lambda d: make_discrete_dqn_batch(d, 2),
-        num_steps=30000, minibatch=512,
+        num_steps=30000, minibatch=512, prefill=20000,
     )
     print(f"QR-DQN cartpole eval: {mean_r}")
     assert mean_r >= 100.0
