@@ -42,6 +42,7 @@ def identify_and_train_network(
     use_gpu: bool = False,
     seed: int = 0,
     minibatch_size: Optional[int] = None,
+    warm_start_path: Optional[str] = None,
 ) -> RLTrainingOutput:
     """Reference: training.py:59-122."""
     manager = MODEL_MANAGERS.build(model)
@@ -55,6 +56,7 @@ def identify_and_train_network(
         use_gpu=use_gpu,
         seed=seed,
         normalization_data_map=normalization_data_map,
+        warm_start_path=warm_start_path,
         minibatch_size=minibatch_size,
         _df=df,
         _manager=manager,
@@ -77,6 +79,7 @@ def query_and_train(
     seed: int = 0,
     normalization_data_map=None,
     minibatch_size: Optional[int] = None,
+    warm_start_path: Optional[str] = None,
     _df: Optional[pd.DataFrame] = None,
     _manager=None,
 ) -> RLTrainingOutput:
@@ -97,6 +100,7 @@ def query_and_train(
         seed=seed,
         normalization_data_map=normalization_data_map,
         minibatch_size=minibatch_size,
+        warm_start_path=warm_start_path,
     )
 
 
@@ -109,8 +113,16 @@ def train_workflow(
     seed: int = 0,
     normalization_data_map=None,
     minibatch_size: Optional[int] = None,
+    warm_start_path: Optional[str] = None,
 ) -> RLTrainingOutput:
-    """Reference: training.py:214-323."""
+    """Reference: training.py:214-323.
+
+    ``warm_start_path``: incremental training — if the file exists, the
+    trainer state (params, optimizer state, targets, step) is restored from
+    it before training, and it is OVERWRITTEN with the final state after
+    (the reference's resume_from_checkpoint + save-after-fit semantics,
+    workflow/utils.py:161,173-176 there).
+    """
     if normalization_data_map is None:
         normalization_data_map = manager.run_feature_identification(train_df)
 
@@ -125,6 +137,12 @@ def train_workflow(
         )
     else:
         trainer_state = trainer.init(jax.random.PRNGKey(seed), jnp.zeros((1, state_dim)))
+
+    if warm_start_path and os.path.exists(warm_start_path):
+        from reagent_tpu.utils.checkpointing import restore_checkpoint
+
+        trainer_state = restore_checkpoint(warm_start_path, trainer_state)
+        logger.info("warm-started trainer state from %s", warm_start_path)
 
     t0 = time.perf_counter()
     last_loss = None
@@ -147,6 +165,13 @@ def train_workflow(
                 action_names=manager.action_names, gamma=trainer.gamma
             )
             report.cpe_details = evaluator.evaluate_post_training(edp)
+
+    if warm_start_path:
+        from reagent_tpu.utils.checkpointing import save_checkpoint
+
+        os.makedirs(os.path.dirname(warm_start_path) or ".", exist_ok=True)
+        save_checkpoint(warm_start_path, trainer_state)
+        logger.info("saved warm-start state to %s", warm_start_path)
 
     serving = manager.build_serving_module(
         trainer, trainer_state, normalization_data_map

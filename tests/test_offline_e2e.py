@@ -4,6 +4,8 @@ Mirrors the reference CI job ``dqn_cartpole_e2e`` (4-command CLI pipeline,
 passing_score_bar 120 from discrete_dqn_cartpole_offline.yaml:55).
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -118,3 +120,58 @@ def test_dqn_cartpole_offline_e2e(tmp_path):
         max_steps=200,
     )
     print(f"offline e2e mean eval reward: {mean_reward}")
+
+
+def test_warm_start_incremental_training(tmp_path):
+    """Incremental training: warm_start_path restores trainer state before
+    training and is overwritten after (reference workflow/utils.py:161,173-176
+    resume semantics + reagent_lightning_module.py:30-34 step persistence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.utils.checkpointing import restore_checkpoint
+    from reagent_tpu.core.registry import MODEL_MANAGERS
+
+    pkl = str(tmp_path / "pre.pkl")
+    table = str(tmp_path / "table.pkl")
+    warm = str(tmp_path / "warm_start")
+    offline_gym_random(
+        env_name="CartPole-v1", pkl_path=pkl,
+        num_train_transitions=1200, max_steps=100, seed=3,
+    )
+    spec = TableSpec(table_name="cp", path=table, table_sample=100.0, eval_table_sample=0.0)
+    timeline_operator(pkl, spec)
+    model_config = {
+        "DiscreteDQN": {
+            "trainer_param": {
+                "actions": ["0", "1"],
+                "rl": {"gamma": 0.99, "target_update_rate": 0.2},
+                "minibatch_size": 256,
+                "optimizer": {"Adam": {"lr": 0.003}},
+            },
+            "net_builder": {"FullyConnected": {"sizes": [32], "activations": ["relu"]}},
+        }
+    }
+    r1 = identify_and_train_network(
+        input_table_spec=spec, model=model_config, num_epochs=2,
+        output_dir=str(tmp_path / "out1"), warm_start_path=warm,
+    )
+    assert os.path.exists(warm)
+
+    # inspect the saved step counter
+    manager = MODEL_MANAGERS.build(model_config)
+    df = pd.read_pickle(table)
+    ndm = manager.run_feature_identification(df)
+    trainer = manager.build_trainer(ndm)
+    proto = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, manager.state_dim(ndm))))
+    step_after_1 = int(restore_checkpoint(warm, proto).step)
+    assert step_after_1 > 0
+
+    r2 = identify_and_train_network(
+        input_table_spec=spec, model=model_config, num_epochs=2,
+        output_dir=str(tmp_path / "out2"), warm_start_path=warm,
+    )
+    step_after_2 = int(restore_checkpoint(warm, proto).step)
+    # second run continued from the first run's optimizer step counter
+    assert step_after_2 == 2 * step_after_1, (step_after_1, step_after_2)
+    assert r2.training_report.td_loss is not None
