@@ -49,8 +49,13 @@ def prefill_replay_buffer(
     rb_state,
     rng: Array,
     num_steps: int,
+    act_fn=None,
 ):
-    """Fill the buffer with uniform-random actions (ref gym/utils.py:43)."""
+    """Fill the buffer with uniform-random actions (ref gym/utils.py:43).
+
+    ``act_fn(None, obs, rng) -> (action_env, action_store)`` overrides the
+    uniform policy (e.g. masked-random for possible-actions envs).
+    """
 
     add_fn = _unjit(type(rb).add)
 
@@ -62,7 +67,10 @@ def prefill_replay_buffer(
     def body(carry, _):
         env_state, obs, rb_state, rng = carry
         rng, r_act, r_step, r_reset = jax.random.split(rng, 4)
-        action = random_action(r_act)
+        if act_fn is not None:
+            action, _ = act_fn(None, obs, r_act)
+        else:
+            action = random_action(r_act)
         env_state, next_obs, reward, done = env.step(env_state, action, r_step)
         rb_state = add_fn(
             rb, rb_state,

@@ -6,6 +6,7 @@ net_builder/discrete_dqn/fully_connected_with_embedding.py.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 import reagent_tpu.net_builder.discrete_dqn  # noqa: F401 (registry population)
@@ -150,3 +151,107 @@ def test_sparse_arch_trains_with_reward_net_trainer():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.2, losses[::20]
+
+
+@pytest.mark.slow
+def test_dqn_changing_arms_sparse_reaches_bar():
+    """Sparse changing-arms DQN bar (reference
+    gym/tests/configs/sparse/discrete_dqn_changing_arms_online.yaml: 400).
+
+    The obs is re-expressed as dense mus/changes + an ID-list of currently
+    legal arms feeding a SparseDQN (embedding-bag + FC), mirroring the
+    reference's FullyConnectedWithEmbedding setup on this env."""
+    from flax import linen as nn
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.gym.envs import ChangingArms
+    from reagent_tpu.gym.online_loop import (
+        OnlineLoopConfig,
+        evaluate_policy,
+        prefill_replay_buffer,
+        run_online_training,
+    )
+    from reagent_tpu.gym.preprocessors import make_discrete_dqn_batch
+    from reagent_tpu.models.embedding_bag import SparseDQN
+    from reagent_tpu.replay import ReplayBuffer
+    from reagent_tpu.training import DQNTrainer
+
+    K = 5
+    env = ChangingArms(num_arms=K, max_steps=200)
+    A, S = env.action_dim, env.observation_dim
+
+    class ArmsSparseQNet(nn.Module):
+        """obs [B, 3K] -> FeatureData(dense mus+changes, id-list legal) -> Q."""
+
+        @nn.compact
+        def __call__(self, obs):
+            mus, legal, changes = obs[:, :K], obs[:, K : 2 * K], obs[:, 2 * K :]
+            ids = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :], (obs.shape[0], 1))
+            state = rlt.FeatureData(
+                float_features=jnp.concatenate([mus, changes], axis=1),
+                id_list_features={
+                    "legal": rlt.IdListFeature(ids=ids, mask=legal > 0.5)
+                },
+            )
+            return SparseDQN(
+                state_dense_dim=2 * K, action_dim=A,
+                configs=(("legal", K + 1, 8),), overarch_dims=[64],
+                activation="leaky_relu",
+            )(state)
+
+    q_net = ArmsSparseQNet()
+    trainer = DQNTrainer(
+        q_network=q_net,
+        rl=RLParameters(gamma=0.5, target_update_rate=0.2, maxq_learning=True),
+        double_q_learning=True,
+        optimizer={"Adam": {"lr": 0.003}},
+    )
+
+    def mask_of(obs_batch):
+        legal = obs_batch[..., K : 2 * K] > 0.5
+        always_pass = jnp.ones(obs_batch.shape[:-1] + (1,), bool)
+        return jnp.concatenate([legal, always_pass], axis=-1).astype(jnp.float32)
+
+    def batch_maker(d):
+        b = make_discrete_dqn_batch(d, A)
+        return b.replace(
+            possible_actions_mask=mask_of(b.state.float_features),
+            possible_next_actions_mask=mask_of(b.next_state.float_features),
+        )
+
+    def policy_act(ts, obs, rng):
+        q = q_net.apply(ts.q_params, obs[None])[0]
+        mask = mask_of(obs[None])[0]
+        logits = jnp.where(mask > 0, q / 2.0, -1e9)
+        a = jax.random.categorical(rng, logits).astype(jnp.int32)
+        return a, a
+
+    rng = jax.random.PRNGKey(0)
+    ri, rt, re = jax.random.split(rng, 3)
+    ts = trainer.init(ri, jnp.zeros((1, S)))
+    rb = ReplayBuffer(replay_capacity=50000, update_horizon=1, gamma=0.5)
+    rbs = rb.init(observation=jnp.zeros(S), action=jnp.int32(0),
+                  reward=jnp.float32(0), terminal=jnp.bool_(False))
+
+    # masked-random prefill so illegal pulls never poison the buffer
+    def random_masked_act(ts, obs, rng):
+        mask = mask_of(obs[None])[0]
+        a = jax.random.categorical(rng, jnp.where(mask > 0, 0.0, -1e9))
+        return a.astype(jnp.int32), a.astype(jnp.int32)
+
+    rbs = prefill_replay_buffer(env, rb, rbs, ri, num_steps=2000,
+                                act_fn=random_masked_act)
+    ts, rbs, aux = run_online_training(
+        env, trainer, ts, rb, rbs, policy_act, batch_maker, rt,
+        OnlineLoopConfig(num_steps=15000, minibatch_size=256),
+    )
+
+    def greedy(ts, obs, rng):
+        q = q_net.apply(ts.q_params, obs[None])[0]
+        mask = mask_of(obs[None])[0]
+        return jnp.argmax(jnp.where(mask > 0, q, -1e9)).astype(jnp.int32)
+
+    returns = evaluate_policy(env, greedy, ts, re, num_episodes=10)
+    mean_r = float(np.mean(np.asarray(returns)))
+    print(f"changing-arms sparse DQN eval: {mean_r}")
+    assert mean_r >= 400.0
