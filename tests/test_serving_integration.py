@@ -96,3 +96,92 @@ def test_decision_feedback_log_joined(server):
         if l.get("request", {}).get("request_id") == resp["request_id"]
     ]
     assert joined, f"request {resp['request_id']} not in log ({len(lines)} lines)"
+
+
+def test_trained_dqn_scored_natively_by_cpp(tmp_path):
+    """Full export seam: train DQN offline in Python, export the framework-free
+    artifact, score it from the C++ service via ActionValueScoring, and check
+    the native scores agree with the Python predictor (the reference's
+    TorchScript -> PytorchActionValueScorer.cpp:11-91 path)."""
+    import json as _json
+
+    import numpy as np
+
+    from reagent_tpu.data.data_module import TableSpec
+    from reagent_tpu.prediction.predictor_wrapper import DiscreteDqnPredictorWrapper
+    from reagent_tpu.serving import (
+        DecisionPlanBuilder,
+        DecisionServiceClient,
+        SoftmaxRanker,
+        export_plan,
+    )
+    from reagent_tpu.serving.operators import ActionValueScoring
+    from reagent_tpu.workflow.gym_batch_rl import offline_gym_random, timeline_operator
+    from reagent_tpu.workflow.training import identify_and_train_network
+
+    # 1. train + export
+    pkl, table = str(tmp_path / "pre.pkl"), str(tmp_path / "table.pkl")
+    offline_gym_random(env_name="CartPole-v1", pkl_path=pkl,
+                       num_train_transitions=800, max_steps=100, seed=7)
+    spec = TableSpec(table_name="cp", path=table, table_sample=100.0, eval_table_sample=0.0)
+    timeline_operator(pkl, spec)
+    result = identify_and_train_network(
+        input_table_spec=spec,
+        model={
+            "DiscreteDQN": {
+                "trainer_param": {
+                    "actions": ["0", "1"],
+                    "rl": {"gamma": 0.99, "target_update_rate": 0.2},
+                    "minibatch_size": 128,
+                    "optimizer": {"Adam": {"lr": 0.01}},
+                },
+                "net_builder": {"FullyConnected": {"sizes": [32], "activations": ["leaky_relu"]}},
+            }
+        },
+        num_epochs=1, output_dir=str(tmp_path / "out"),
+    )
+    model_path = result.output_paths["default_model"]
+
+    # 2. author a scoring plan + boot a service on it
+    plans = str(tmp_path / "plans")
+    os.makedirs(plans)
+    plan = (
+        DecisionPlanBuilder()
+        .set_root(SoftmaxRanker(values=ActionValueScoring(model_path=model_path),
+                                temperature=0.001))
+        .set_reward_function("r")
+    )
+    export_plan(plan, os.path.join(plans, "dqn_scoring.json"))
+    port = _free_port()
+    proc = subprocess.Popen(
+        [os.path.abspath(SERVER_BIN), "--plans", plans, "--port", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        client = DecisionServiceClient(port=port)
+        for _ in range(100):
+            if client.healthy():
+                break
+            time.sleep(0.1)
+        features = {0: 0.05, 1: -0.2, 2: 0.03, 3: 0.4}
+        resp = client.request(
+            "dqn_scoring", ["0", "1"],
+            input={"context_features": {str(k): v for k, v in features.items()}},
+        )
+        # 3. python-side reference scores
+        fwd = DiscreteDqnPredictorWrapper.load(model_path)
+        with open(os.path.join(model_path, "manifest.json")) as f:
+            sorted_features = _json.load(f)["sorted_features"]
+        values = np.array([[features.get(f, 0.0) for f in sorted_features]], np.float32)
+        presence = np.array([[f in features for f in sorted_features]], np.bool_)
+        names, q = fwd(values, presence)
+        py_best = names[int(np.argmax(np.asarray(q)[0]))]
+        # near-greedy softmax ranker: top action must match python argmax
+        assert resp["actions"][0]["name"] == py_best, (resp, names, q)
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=5)
