@@ -43,6 +43,7 @@ def identify_and_train_network(
     seed: int = 0,
     minibatch_size: Optional[int] = None,
     warm_start_path: Optional[str] = None,
+    reward_options: Optional[Dict[str, Any]] = None,
 ) -> RLTrainingOutput:
     """Reference: training.py:59-122."""
     manager = MODEL_MANAGERS.build(model)
@@ -57,6 +58,7 @@ def identify_and_train_network(
         seed=seed,
         normalization_data_map=normalization_data_map,
         warm_start_path=warm_start_path,
+        reward_options=reward_options,
         minibatch_size=minibatch_size,
         _df=df,
         _manager=manager,
@@ -80,12 +82,22 @@ def query_and_train(
     normalization_data_map=None,
     minibatch_size: Optional[int] = None,
     warm_start_path: Optional[str] = None,
+    reward_options: Optional[Dict[str, Any]] = None,
     _df: Optional[pd.DataFrame] = None,
     _manager=None,
 ) -> RLTrainingOutput:
     """Reference: training.py:106-213."""
     manager = _manager or MODEL_MANAGERS.build(model)
     df = _df if _df is not None else _load_table(input_table_spec)
+    if reward_options:
+        from reagent_tpu.data.reward_options import RewardOptions, apply_reward_options
+
+        opts = (
+            reward_options
+            if isinstance(reward_options, RewardOptions)
+            else RewardOptions(**reward_options)
+        )
+        df = apply_reward_options(df, opts)
     calc_cpe = getattr(manager, "eval_params", None) and manager.eval_params.calc_cpe_in_training
     sample_range = get_sample_range(input_table_spec, bool(calc_cpe))
     train_df = split_by_sample_range(df, sample_range.train_sample_range)

@@ -175,3 +175,70 @@ def test_warm_start_incremental_training(tmp_path):
     # second run continued from the first run's optimizer step counter
     assert step_after_2 == 2 * step_after_1, (step_after_1, step_after_2)
     assert r2.training_report.td_loss is not None
+
+
+def test_reward_options_shaping():
+    """RewardOptions: metric-weighted rewards, custom expressions, multi-step
+    folding (reference workflow/types.py:79, oss_data_fetcher.py:35-63)."""
+    from reagent_tpu.data.reward_options import (
+        RewardOptions,
+        apply_reward_options,
+        calc_reward_multi_steps,
+    )
+
+    df = pd.DataFrame(
+        {
+            "reward": [1.0, 2.0, 3.0],
+            "metrics": [{"ctr": 0.5, "watch": 2.0}, {"ctr": 0.1}, {}],
+        }
+    )
+    # weighted metrics replace the reward
+    out = apply_reward_options(df, RewardOptions(metric_reward_values={"ctr": 10.0, "watch": 1.0}))
+    np.testing.assert_allclose(out["reward"], [7.0, 1.0, 0.0])
+    # custom expression over reward + metrics columns
+    out = apply_reward_options(
+        df, RewardOptions(custom_reward_expression="reward * 2 + metrics_ctr")
+    )
+    np.testing.assert_allclose(out["reward"], [2.5, 4.1, 6.0])
+    # both: metrics first, then expression sees the new reward
+    out = apply_reward_options(
+        df,
+        RewardOptions(
+            metric_reward_values={"ctr": 1.0},
+            custom_reward_expression="reward * 10",
+        ),
+    )
+    np.testing.assert_allclose(out["reward"], [5.0, 1.0, 0.0])
+    # multi-step discounted fold
+    ms = pd.DataFrame({"reward": [[1.0, 1.0, 1.0], [2.0], 3.0]})
+    out = calc_reward_multi_steps(ms, gamma=0.5)
+    np.testing.assert_allclose(out["reward"], [1 + 0.5 + 0.25, 2.0, 3.0])
+
+
+def test_workflow_with_custom_reward_expression(tmp_path):
+    """reward_options threads through identify_and_train_network."""
+    pkl = str(tmp_path / "pre.pkl")
+    table = str(tmp_path / "table.pkl")
+    offline_gym_random(
+        env_name="CartPole-v1", pkl_path=pkl,
+        num_train_transitions=600, max_steps=100, seed=2,
+    )
+    spec = TableSpec(table_name="cp", path=table, table_sample=100.0, eval_table_sample=0.0)
+    timeline_operator(pkl, spec)
+    result = identify_and_train_network(
+        input_table_spec=spec,
+        model={
+            "DiscreteDQN": {
+                "trainer_param": {
+                    "actions": ["0", "1"],
+                    "rl": {"gamma": 0.99, "target_update_rate": 0.2},
+                    "minibatch_size": 128,
+                    "optimizer": {"Adam": {"lr": 0.01}},
+                },
+                "net_builder": {"FullyConnected": {"sizes": [16], "activations": ["relu"]}},
+            }
+        },
+        num_epochs=1, output_dir=str(tmp_path / "out"),
+        reward_options={"custom_reward_expression": "reward * 0.5"},
+    )
+    assert result.training_report.td_loss is not None
