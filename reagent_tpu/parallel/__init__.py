@@ -17,10 +17,13 @@ from reagent_tpu.parallel.data_parallel import (
     replicate,
     shard_batch,
 )
+from reagent_tpu.parallel.scaling import host_shard_batch, measure_scaling_efficiency
 
 __all__ = [
     "make_mesh",
     "make_data_parallel_train_step",
     "replicate",
     "shard_batch",
+    "host_shard_batch",
+    "measure_scaling_efficiency",
 ]
