@@ -17,6 +17,8 @@ TPU training is a local/distributed parquet store, not a Hive warehouse.
 
 from __future__ import annotations
 
+import os
+
 from typing import List, Optional
 
 import numpy as np
@@ -121,6 +123,61 @@ def multi_step_timeline_transform(
                 row["not_terminal"] = int(i + horizon < n - 1)
             rows.append(row)
     out = pd.DataFrame(rows)
+    if shuffle:
+        out = out.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    return out
+
+
+def _transform_shard(args):
+    df_shard, multi_steps, percentile = args
+    return timeline_transform(
+        df_shard, multi_steps=multi_steps, percentile=percentile, shuffle=False
+    )
+
+
+def partitioned_timeline_transform(
+    df: pd.DataFrame,
+    num_partitions: int = 8,
+    multi_steps: Optional[int] = None,
+    percentile: float = 1.0,
+    shuffle: bool = True,
+    seed: int = 0,
+    pool=None,
+) -> pd.DataFrame:
+    """Scale-out timeline: episodes hashed into ``num_partitions`` shards,
+    each transformed in parallel, results concatenated + shuffled.
+
+    This is the data-plane-parallel equivalent of the reference's Spark
+    cluster execution (Timeline.scala runs as a distributed SQL job;
+    Helper.scala hash-partitions by mdp_id).  Episodes never span shards, so
+    the result equals the single-shard transform up to row order.
+
+    ``pool``: any Executor with ``map`` (default: process pool sized
+    ``num_partitions``); pass a distributed executor to run across hosts.
+    """
+    if num_partitions <= 1 or len(df) == 0:
+        return timeline_transform(
+            df, multi_steps=multi_steps, percentile=percentile, shuffle=shuffle, seed=seed
+        )
+    # percentile filtering needs the GLOBAL episode-length distribution;
+    # apply it before sharding so shards agree with the unsharded output
+    if percentile < 1.0:
+        ep_len = df.groupby("mdp_id")["sequence_number"].transform("size")
+        cutoff = df.groupby("mdp_id")["sequence_number"].size().quantile(percentile)
+        df = df[ep_len <= cutoff].reset_index(drop=True)
+
+    shard_of = pd.util.hash_array(df["mdp_id"].astype(str).to_numpy()) % num_partitions
+    shards = [df[shard_of == p] for p in range(num_partitions)]
+    work = [(s, multi_steps, 1.0) for s in shards if len(s)]
+
+    if pool is None:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(num_partitions, os.cpu_count() or 8)) as ex:
+            parts = list(ex.map(_transform_shard, work))
+    else:
+        parts = list(pool.map(_transform_shard, work))
+    out = pd.concat(parts, ignore_index=True)
     if shuffle:
         out = out.sample(frac=1.0, random_state=seed).reset_index(drop=True)
     return out

@@ -242,3 +242,45 @@ def test_workflow_with_custom_reward_expression(tmp_path):
         reward_options={"custom_reward_expression": "reward * 0.5"},
     )
     assert result.training_report.td_loss is not None
+
+
+def test_partitioned_timeline_matches_single_shard():
+    """Hash-partitioned parallel timeline == single-shard transform
+    (reference: Spark distributes Timeline.scala by mdp_id hash)."""
+    from reagent_tpu.data.timeline import (
+        partitioned_timeline_transform,
+        timeline_transform,
+    )
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for mdp in range(40):
+        n = int(rng.integers(2, 12))
+        for t in range(n):
+            rows.append(
+                {
+                    "ds": "2026-01-01",
+                    "mdp_id": f"m{mdp}",
+                    "sequence_number": t * 2,
+                    "state_features": {0: float(t), 1: float(mdp)},
+                    "action": str(int(rng.integers(2))),
+                    "action_probability": 0.5,
+                    "reward": float(rng.normal()),
+                    "possible_actions": ["0", "1"],
+                }
+            )
+    df = pd.DataFrame(rows)
+    single = timeline_transform(df, shuffle=False)
+    multi = partitioned_timeline_transform(df, num_partitions=4, shuffle=False)
+    key = ["mdp_id", "sequence_number"]
+    single = single.sort_values(key).reset_index(drop=True)
+    multi = multi.sort_values(key).reset_index(drop=True)
+    assert len(single) == len(multi)
+    for col in ("next_action", "time_diff", "sequence_number_ordinal",
+                "time_since_first", "not_terminal"):
+        assert list(single[col]) == list(multi[col]), col
+    assert list(single["next_state_features"]) == list(multi["next_state_features"])
+    # percentile filtering uses the global distribution in both paths
+    s2 = timeline_transform(df, percentile=0.7, shuffle=False)
+    m2 = partitioned_timeline_transform(df, num_partitions=4, percentile=0.7, shuffle=False)
+    assert len(s2) == len(m2)
