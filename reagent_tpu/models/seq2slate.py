@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import enum
 import math
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -86,12 +86,14 @@ class Embedder(nn.Module):
     """Linear embed scaled by sqrt(dim_out) (ref seq2slate.py:317-329)."""
 
     dim_out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.Dense(self.dim_out, kernel_init=nn.initializers.xavier_uniform())(
-            x
-        ) * math.sqrt(self.dim_out)
+        return nn.Dense(
+            self.dim_out, kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+        )(x) * math.sqrt(self.dim_out)
 
 
 class PositionalEncoding(nn.Module):
@@ -111,11 +113,18 @@ class PositionalEncoding(nn.Module):
 class FeedForward(nn.Module):
     dim_model: int
     dim_feedforward: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.relu(nn.Dense(self.dim_feedforward, kernel_init=nn.initializers.xavier_uniform())(x))
-        return nn.Dense(self.dim_model, kernel_init=nn.initializers.xavier_uniform())(h)
+        h = nn.relu(nn.Dense(
+            self.dim_feedforward, kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+        )(x))
+        return nn.Dense(
+            self.dim_model, kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+        )(h)
 
 
 class EncoderLayer(nn.Module):
@@ -124,6 +133,7 @@ class EncoderLayer(nn.Module):
     dim_model: int
     num_heads: int
     dim_feedforward: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -131,9 +141,10 @@ class EncoderLayer(nn.Module):
             num_heads=self.num_heads,
             qkv_features=self.dim_model,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
         )(x, x)
         x = nn.LayerNorm()(x + attn)
-        ff = FeedForward(self.dim_model, self.dim_feedforward)(x)
+        ff = FeedForward(self.dim_model, self.dim_feedforward, dtype=self.dtype)(x)
         return nn.LayerNorm()(x + ff)
 
 
@@ -143,20 +154,23 @@ class DecoderLayer(nn.Module):
     dim_model: int
     num_heads: int
     dim_feedforward: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt: Array, memory: Array, tgt_tgt_mask: Array, tgt_src_mask: Array) -> Array:
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim_model,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
         )(tgt, tgt, mask=tgt_tgt_mask[:, None])
         tgt = nn.LayerNorm()(tgt + sa)
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim_model,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
         )(tgt, memory, mask=tgt_src_mask[:, None])
         tgt = nn.LayerNorm()(tgt + ca)
-        ff = FeedForward(self.dim_model, self.dim_feedforward)(tgt)
+        ff = FeedForward(self.dim_model, self.dim_feedforward, dtype=self.dtype)(tgt)
         return nn.LayerNorm()(tgt + ff)
 
 
@@ -168,24 +182,27 @@ class PointerLastLayer(nn.Module):
 
     dim_model: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt: Array, memory: Array, tgt_tgt_mask: Array, tgt_src_mask: Array) -> Array:
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim_model,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
         )(tgt, tgt, mask=tgt_tgt_mask[:, None])
         tgt = nn.LayerNorm()(tgt + sa)
         # manual multi-head attention so we can return weights
         H, D = self.num_heads, self.dim_model
         dh = D // H
-        q = nn.Dense(D, kernel_init=nn.initializers.xavier_uniform())(tgt)
-        k = nn.Dense(D, kernel_init=nn.initializers.xavier_uniform())(memory)
+        q = nn.Dense(D, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype)(tgt)
+        k = nn.Dense(D, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype)(memory)
         B, T, _ = q.shape
         S = memory.shape[1]
         q = q.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(dh)
+        # logits/softmax in f32: the pointer probs feed log-prob losses
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / math.sqrt(dh)
         logits = jnp.where(tgt_src_mask[:, None], logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.mean(probs, axis=1)  # [B, T, S]
@@ -205,20 +222,25 @@ class Seq2SlateTransformerModel(nn.Module):
     output_arch: Seq2SlateOutputArch
     temperature: float = 1.0
     state_embed_dim: Optional[int] = None
+    # bfloat16 activations keep the MXU fed at full rate; params stay f32 and
+    # pointer-softmax/log-prob heads compute in f32 (TPU mixed precision)
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         sed = self.state_embed_dim or self.dim_model // 2
-        self.state_embedder = Embedder(sed)
-        self.candidate_embedder = Embedder(self.dim_model - sed)
+        self.state_embedder = Embedder(sed, dtype=self.compute_dtype)
+        self.candidate_embedder = Embedder(self.dim_model - sed, dtype=self.compute_dtype)
         self.encoder_layers = [
-            EncoderLayer(self.dim_model, self.num_heads, self.dim_feedforward)
+            EncoderLayer(self.dim_model, self.num_heads, self.dim_feedforward,
+                         dtype=self.compute_dtype)
             for _ in range(self.num_stacked_layers)
         ]
         self.encoder_scorer = nn.Dense(1, kernel_init=nn.initializers.xavier_uniform())
         self.decoder_layers = [
-            DecoderLayer(self.dim_model, self.num_heads, self.dim_feedforward)
+            DecoderLayer(self.dim_model, self.num_heads, self.dim_feedforward,
+                         dtype=self.compute_dtype)
             for _ in range(self.num_stacked_layers - 1)
-        ] + [PointerLastLayer(self.dim_model, self.num_heads)]
+        ] + [PointerLastLayer(self.dim_model, self.num_heads, dtype=self.compute_dtype)]
         self.positional_encoding_decoder = PositionalEncoding()
 
     # ------------------------------------------------------------- building
@@ -419,6 +441,7 @@ class Seq2SlateTransformerNet:
         max_tgt_seq_len: int,
         output_arch: Seq2SlateOutputArch = Seq2SlateOutputArch.AUTOREGRESSIVE,
         temperature: float = 1.0,
+        compute_dtype: Any = jnp.float32,
     ):
         self.seq2slate = Seq2SlateTransformerModel(
             state_dim=state_dim,
@@ -431,6 +454,7 @@ class Seq2SlateTransformerNet:
             max_tgt_seq_len=max_tgt_seq_len,
             output_arch=output_arch,
             temperature=temperature,
+            compute_dtype=compute_dtype,
         )
         self.max_tgt_seq_len = max_tgt_seq_len
 

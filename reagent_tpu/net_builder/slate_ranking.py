@@ -5,6 +5,8 @@ from __future__ import annotations
 import dataclasses
 from typing import List
 
+import jax.numpy as jnp
+
 from reagent_tpu.core.registry import SLATE_RANKING_NET_BUILDERS
 from reagent_tpu.models.seq2slate import Seq2SlateOutputArch, Seq2SlateTransformerModel
 
@@ -18,6 +20,7 @@ class SlateRankingTransformer:
     dim_feedforward: int = 32
     output_arch: str = "autoregressive"
     temperature: float = 1.0
+    compute_dtype: str = "float32"  # "bfloat16" keeps the MXU at full rate
 
     def build_slate_ranking_network(
         self, state_dim: int, candidate_dim: int, candidate_size: int, slate_size: int
@@ -32,6 +35,7 @@ class SlateRankingTransformer:
             max_src_seq_len=candidate_size,
             max_tgt_seq_len=slate_size,
             output_arch=Seq2SlateOutputArch(self.output_arch),
+            compute_dtype=jnp.dtype(self.compute_dtype),
             temperature=self.temperature,
         )
 

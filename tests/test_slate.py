@@ -194,3 +194,27 @@ def test_slate_q_trainer():
     ts2 = trainer2.init(jax.random.PRNGKey(0), jnp.zeros((1, state_dim)), jnp.zeros((1, cdim)))
     ts2, m2 = trainer2.train_step(ts2, batch)
     assert np.isfinite(float(m2["td_loss"]))
+
+
+def test_seq2slate_bfloat16_matches_f32():
+    """Mixed precision: bf16 activations, f32 params + pointer softmax —
+    per-seq log probs must track the f32 model closely."""
+    import jax.numpy as jnp
+
+    m32 = _model()
+    m16 = Seq2SlateTransformerModel(
+        state_dim=SD, candidate_dim=CD, num_stacked_layers=2, num_heads=2,
+        dim_model=16, dim_feedforward=32, max_src_seq_len=S, max_tgt_seq_len=T,
+        output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE, compute_dtype=jnp.bfloat16,
+    )
+    state, src = _rank_inputs()
+    params = m32.init(jax.random.PRNGKey(1), Seq2SlateMode.RANK_MODE.value, state, src, greedy=True)
+    o32 = m32.apply(params, Seq2SlateMode.RANK_MODE.value, state, src, greedy=True)
+    o16 = m16.apply(params, Seq2SlateMode.RANK_MODE.value, state, src, greedy=True)
+    # same params: greedy rankings should agree on nearly every slot
+    agree = np.mean(np.asarray(o32.ranked_tgt_out_idx) == np.asarray(o16.ranked_tgt_out_idx))
+    assert agree >= 0.9, agree
+    np.testing.assert_allclose(
+        np.asarray(o16.ranked_per_seq_probs), np.asarray(o32.ranked_per_seq_probs),
+        rtol=0.15, atol=1e-4,
+    )
