@@ -1,9 +1,17 @@
-"""Pairwise quantile-huber loss as a Pallas kernel (QR-DQN hot op).
+"""Pairwise quantile-huber loss (QR-DQN hot op): Pallas kernel + XLA path.
 
 The QR-DQN loss forms a [B, N, N] pairwise TD tensor (target atoms x current
-atoms; reference qrdqn_trainer.py:150-156).  For large atom counts the
-materialized pairwise tensor is pure HBM traffic; the kernel tiles over the
-batch and keeps each [N, N] block in VMEM, emitting only the per-sample loss.
+atoms; reference qrdqn_trainer.py:150-156).  The Pallas kernel tiles over the
+batch and keeps each [bb, N] block in VMEM, accumulating the pairwise sum
+without materializing the 3-D tensor.
+
+Measured on TPU v5e (B=4096 N=51 / B=8192 N=201): XLA's fused pairwise
+formulation runs 872->622us / 1469->1313us FASTER than the kernel — the
+static per-atom loop the Mosaic VPU requires here serializes what XLA
+vectorizes across the 3-D tensor.  The default path is therefore XLA (let
+the compiler fuse); the kernel compiles and is numerically verified on both
+real TPU Mosaic and interpret mode, kept as the reference implementation and
+for backends where the fusion does not materialize.
 """
 
 from __future__ import annotations
@@ -16,43 +24,54 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def quantile_huber_loss_xla(
+    target_q: Array, current_q: Array, kappa: float = 1.0
+) -> Array:
+    """XLA pairwise formulation (the measured-fastest TPU path)."""
+    N = target_q.shape[1]
+    taus = ((jnp.arange(N) + 0.5) / N).astype(jnp.float32)
+    td = target_q[:, :, None] - current_q[:, None, :]
+    a = jnp.abs(td)
+    huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
+    weight = jnp.abs(taus[None, None, :] - (td < 0).astype(jnp.float32))
+    return jnp.mean(huber * weight)
+
+
 def quantile_huber_loss(
     target_q: Array,   # [B, N] target quantile samples
     current_q: Array,  # [B, N] current quantile estimates
     kappa: float = 1.0,
     block_b: int = 128,
     interpret: bool = False,
+    use_kernel: bool = False,
 ) -> Array:
     """Returns the mean quantile-huber loss (scalar).
 
-    On the TPU backend this currently falls back to the XLA pairwise
-    formulation (the kernel crashes this remote Mosaic compiler; it is
-    verified in interpret mode).
+    ``use_kernel=False`` (default) routes through the XLA formulation — see
+    module docstring for the measurement.  ``use_kernel=True`` runs the
+    Pallas kernel (2-D VMEM blocks; compiles on real TPU Mosaic).
     """
     B, N = target_q.shape
-    taus = ((jnp.arange(N) + 0.5) / N).astype(jnp.float32)
-    if not interpret and jax.default_backend() == "tpu":
-        td = target_q[:, :, None] - current_q[:, None, :]
-        a = jnp.abs(td)
-        huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
-        weight = jnp.abs(taus[None, None, :] - (td < 0).astype(jnp.float32))
-        return jnp.mean(huber * weight)
+    if not use_kernel and not interpret:
+        return quantile_huber_loss_xla(target_q, current_q, kappa)
+
+    taus = ((jnp.arange(N) + 0.5) / N).astype(jnp.float32)[None, :]
 
     def kernel(t_ref, c_ref, tau_ref, o_ref):
-        # strictly 2-D: loop over target atoms (static N), accumulating the
-        # [bb, N_current] pairwise slice — Mosaic rejects the 3-D pairwise
-        # tensor formulation
+        # strictly 2-D blocks: loop over target atoms (static N), accumulating
+        # the [bb, N_current] pairwise slice — Mosaic rejects the 3-D pairwise
+        # tensor formulation, and the output block must be >=2-D
         t = t_ref[:].astype(jnp.float32)  # [bb, N]
         c = c_ref[:].astype(jnp.float32)
-        tau = tau_ref[:]  # [N]
+        tau = tau_ref[:]  # [1, N]
         acc = jnp.zeros_like(c)
         for k in range(N):
             td = t[:, k][:, None] - c  # [bb, N]
             a = jnp.abs(td)
             huber = jnp.where(a < kappa, 0.5 * td * td, kappa * (a - 0.5 * kappa))
-            weight = jnp.abs(tau[None, :] - (td < 0).astype(jnp.float32))
+            weight = jnp.abs(tau - (td < 0).astype(jnp.float32))
             acc = acc + huber * weight
-        o_ref[:] = jnp.sum(acc, axis=1) / (N * N)
+        o_ref[:] = (jnp.sum(acc, axis=1) / (N * N))[:, None]
 
     bb = min(block_b, B)
     per_sample = pl.pallas_call(
@@ -61,10 +80,10 @@ def quantile_huber_loss(
         in_specs=[
             pl.BlockSpec((bb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B,), jnp.float32),
+        out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         interpret=interpret,
     )(target_q, current_q, taus)
     return jnp.mean(per_sample)

@@ -60,7 +60,8 @@ def test_quantile_huber_matches_reference():
     B, N = 32, 8
     tq = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
     cq = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
-    loss = quantile_huber_loss(tq, cq, interpret=INTERPRET)
+    loss = quantile_huber_loss(tq, cq, interpret=INTERPRET, use_kernel=True)
+    loss_xla = quantile_huber_loss(tq, cq)  # default XLA path
 
     taus = (np.arange(N) + 0.5) / N
     td = np.asarray(tq)[:, :, None] - np.asarray(cq)[:, None, :]
@@ -69,3 +70,4 @@ def test_quantile_huber_matches_reference():
     weight = np.abs(taus[None, None, :] - (td < 0))
     ref = (huber * weight).mean()
     assert float(loss) == pytest.approx(float(ref), rel=1e-5)
+    assert float(loss_xla) == pytest.approx(float(ref), rel=1e-5)
