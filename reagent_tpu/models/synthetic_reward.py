@@ -83,6 +83,57 @@ class NGramFullyConnectedNetwork(nn.Module):
         return jnp.transpose(out[..., 0], (1, 0))
 
 
+class NGramConvolutionalNetwork(nn.Module):
+    """Per-step reward from a conv stack over each context window (ref :311-370).
+
+    Each step's [context_size, state_dim+action_dim] window is treated as a
+    1-channel image; conv height kernels slide over the context axis while the
+    first layer's width kernel spans the full feature axis, then an MLP head
+    scores the flattened features.  All windows across (T, B) are batched into
+    one conv call so XLA tiles a single large convolution onto the MXU.
+    """
+
+    state_dim: int
+    action_dim: int
+    sizes: Sequence[int]
+    activations: Sequence[str]
+    context_size: int = 3
+    conv_dims: Sequence[int] = (32,)
+    conv_height_kernels: Sequence[int] = (2,)
+    last_layer_activation: str = "linear"
+
+    @nn.compact
+    def __call__(self, state: Array, action: Array) -> Array:
+        assert self.context_size % 2 == 1, "context_size must be odd"
+        T, B, _ = state.shape
+        x = jnp.concatenate([state, action], axis=-1)  # [T, B, D]
+        D = x.shape[-1]
+        pad = self.context_size // 2
+        padded = jnp.concatenate(
+            [jnp.zeros((pad, B, D)), x, jnp.zeros((pad, B, D))], axis=0
+        )
+        # [T, B, context, D] windows -> one conv batch [T*B, context, D, 1]
+        windows = jnp.stack(
+            [padded[i : i + T] for i in range(self.context_size)], axis=2
+        )
+        h = windows.reshape(T * B, self.context_size, D, 1)
+        for i, dim in enumerate(self.conv_dims):
+            kw = D if i == 0 else 1
+            h = nn.relu(
+                nn.Conv(
+                    dim,
+                    kernel_size=(self.conv_height_kernels[i], kw),
+                    padding="VALID",
+                )(h)
+            )
+        h = h.reshape(T * B, -1)
+        out = FullyConnectedNetwork(
+            sizes=[h.shape[-1], *self.sizes, 1],
+            activations=[*self.activations, self.last_layer_activation],
+        )(h)
+        return out.reshape(T, B).T  # [B, T]
+
+
 class SequenceSyntheticRewardNet(nn.Module):
     """Bidirectional-ish LSTM scorer over the sequence (ref :420)."""
 

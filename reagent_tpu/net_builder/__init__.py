@@ -14,6 +14,7 @@ from reagent_tpu.net_builder import (  # noqa: F401
     parametric_dqn,
     quantile_dqn,
     slate_ranking,
+    slate_reward,
     synthetic_reward,
     value,
 )

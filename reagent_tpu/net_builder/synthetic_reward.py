@@ -8,6 +8,7 @@ from typing import List, Optional
 from reagent_tpu.core.parameters import NormalizationData
 from reagent_tpu.core.registry import SYNTHETIC_REWARD_NET_BUILDERS
 from reagent_tpu.models.synthetic_reward import (
+    NGramConvolutionalNetwork,
     NGramFullyConnectedNetwork,
     SequenceSyntheticRewardNet,
     SingleStepSyntheticRewardNet,
@@ -69,6 +70,39 @@ class NGramSyntheticReward:
             net=NGramFullyConnectedNetwork(
                 state_dim=sd, action_dim=ad, sizes=list(self.sizes),
                 activations=list(self.activations), context_size=self.context_size,
+                last_layer_activation=self.last_layer_activation,
+            )
+        )
+
+
+@SYNTHETIC_REWARD_NET_BUILDERS.register()
+@dataclasses.dataclass
+class NGramConvNetSyntheticReward:
+    """Conv-net n-gram variant (reference net_builder/synthetic_reward/ngram_synthetic_reward.py:NGramConvNetSyntheticReward)."""
+
+    sizes: List[int] = dataclasses.field(default_factory=lambda: [64, 32])
+    activations: List[str] = dataclasses.field(default_factory=lambda: ["relu", "relu"])
+    context_size: int = 3
+    conv_dims: List[int] = dataclasses.field(default_factory=lambda: [32])
+    conv_height_kernels: List[int] = dataclasses.field(default_factory=lambda: [2])
+    last_layer_activation: str = "linear"
+
+    def build_synthetic_reward_network(
+        self, state_normalization_data=None, action_normalization_data=None,
+        discrete_action_names=None, state_dim=None, action_dim=None,
+    ) -> SyntheticRewardNet:
+        sd = state_dim_of(state_normalization_data, state_dim)
+        ad = (
+            len(discrete_action_names)
+            if discrete_action_names
+            else state_dim_of(action_normalization_data, action_dim)
+        )
+        return SyntheticRewardNet(
+            net=NGramConvolutionalNetwork(
+                state_dim=sd, action_dim=ad, sizes=list(self.sizes),
+                activations=list(self.activations), context_size=self.context_size,
+                conv_dims=tuple(self.conv_dims),
+                conv_height_kernels=tuple(self.conv_height_kernels),
                 last_layer_activation=self.last_layer_activation,
             )
         )
