@@ -25,6 +25,7 @@ Array = jax.Array
 
 BATCH_SIZE = 512
 MAX_NUM_BEST_SOLUTIONS = 50
+ANNEAL_RATE = 0.9997
 
 
 class BestResultsQueue:
@@ -388,3 +389,190 @@ class NeverGradOptimizer(ComboOptimizerBase):
                 "BayesianMLPEnsemblerOptimizer instead"
             ) from e
         super().__init__(*args, **kwargs)
+
+
+class LinearBayesianByBackprop:
+    """Variational Bayesian linear regression head (reference :1418-1477).
+
+    Each weight has a Gaussian posterior (mu, rho) trained by the local
+    reparameterization trick; forward() draws one posterior sample.  Pure
+    functional JAX: params live in a dict, forward/elbo are jittable.
+    """
+
+    def __init__(self, input_dim: int, prior_sigma: float = 1.0, seed: int = 0):
+        self.input_dim = input_dim
+        self.prior_sigma = prior_sigma
+        key = jax.random.PRNGKey(seed)
+        self.params = {
+            "w_mu": 0.1 * jax.random.normal(key, (input_dim, 1)),
+            "w_rho": jnp.full((input_dim, 1), -3.0),
+            "b_mu": jnp.zeros((1,)),
+            "b_rho": jnp.full((1,), -3.0),
+        }
+
+    @staticmethod
+    def forward(params, x, rng):
+        w_sigma = jax.nn.softplus(params["w_rho"])
+        b_sigma = jax.nn.softplus(params["b_rho"])
+        kw, kb = jax.random.split(rng)
+        w = params["w_mu"] + w_sigma * jax.random.normal(kw, params["w_mu"].shape)
+        b = params["b_mu"] + b_sigma * jax.random.normal(kb, params["b_mu"].shape)
+        return (x @ w + b).reshape(-1)
+
+    def kl(self, params):
+        total = 0.0
+        for mu_k, rho_k in (("w_mu", "w_rho"), ("b_mu", "b_rho")):
+            mu, sigma = params[mu_k], jax.nn.softplus(params[rho_k])
+            total = total + jnp.sum(
+                jnp.log(self.prior_sigma / sigma)
+                + (sigma**2 + mu**2) / (2 * self.prior_sigma**2)
+                - 0.5
+            )
+        return total
+
+
+class MLPBayesianByBackprop(LinearBayesianByBackprop):
+    """Variational Bayesian one-hidden-layer MLP (reference :1479-1545)."""
+
+    def __init__(self, input_dim: int, hidden: int = 32, prior_sigma: float = 1.0, seed: int = 0):
+        self.input_dim = input_dim
+        self.prior_sigma = prior_sigma
+        key1, key2 = jax.random.split(jax.random.PRNGKey(seed))
+        self.params = {
+            "w_mu": 0.1 * jax.random.normal(key1, (input_dim, hidden)),
+            "w_rho": jnp.full((input_dim, hidden), -3.0),
+            "b_mu": jnp.zeros((hidden,)),
+            "b_rho": jnp.full((hidden,), -3.0),
+            "w2_mu": 0.1 * jax.random.normal(key2, (hidden, 1)),
+            "w2_rho": jnp.full((hidden, 1), -3.0),
+            "b2_mu": jnp.zeros((1,)),
+            "b2_rho": jnp.full((1,), -3.0),
+        }
+
+    @staticmethod
+    def forward(params, x, rng):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        w = params["w_mu"] + jax.nn.softplus(params["w_rho"]) * jax.random.normal(k1, params["w_mu"].shape)
+        b = params["b_mu"] + jax.nn.softplus(params["b_rho"]) * jax.random.normal(k2, params["b_mu"].shape)
+        w2 = params["w2_mu"] + jax.nn.softplus(params["w2_rho"]) * jax.random.normal(k3, params["w2_mu"].shape)
+        b2 = params["b2_mu"] + jax.nn.softplus(params["b2_rho"]) * jax.random.normal(k4, params["b2_mu"].shape)
+        h = jax.nn.relu(x @ w + b)
+        return (h @ w2 + b2).reshape(-1)
+
+    def kl(self, params):
+        total = 0.0
+        for mu_k, rho_k in (
+            ("w_mu", "w_rho"), ("b_mu", "b_rho"), ("w2_mu", "w2_rho"), ("b2_mu", "b2_rho"),
+        ):
+            mu, sigma = params[mu_k], jax.nn.softplus(params[rho_k])
+            total = total + jnp.sum(
+                jnp.log(self.prior_sigma / sigma)
+                + (sigma**2 + mu**2) / (2 * self.prior_sigma**2)
+                - 0.5
+            )
+        return total
+
+
+class BayesianByBackpropOptimizer(ComboOptimizerBase):
+    """BANANAS-style Bayesian optimization with a Bayes-by-backprop surrogate
+    (reference :1547-1686, method of arXiv:1910.11858).
+
+    sample(): mutate the best solutions found so far (random mutation of a
+    temperature-scaled fraction of variables), then keep the candidates whose
+    Thompson-sampled (independent posterior draw) predicted cost is lowest.
+    update_params(): fit the surrogate by maximizing the ELBO (MSE + KL).
+    """
+
+    def __init__(self, param, obj_func=None, batch_size=BATCH_SIZE,
+                 surrogate: str = "mlp", start_temp: float = 1.0,
+                 min_temp: float = 0.1, anneal_rate: float = ANNEAL_RATE,
+                 num_mutations: int = 50, learning_rate: float = 1e-2,
+                 train_steps: int = 50, kl_weight: float = 1e-3, seed=0):
+        if num_mutations < 2:
+            raise ValueError("number of mutations should be more than 1")
+        self.surrogate_kind = surrogate
+        self.temp = start_temp
+        self.min_temp = min_temp
+        self.anneal_rate = anneal_rate
+        self.num_mutations = num_mutations
+        self.learning_rate = learning_rate
+        self.train_steps = train_steps
+        self.kl_weight = kl_weight
+        super().__init__(param, obj_func, batch_size, seed)
+
+    def _init(self) -> None:
+        self.dim = sum(len(v) for v in self.param.values())
+        if self.surrogate_kind == "linear":
+            self.net = LinearBayesianByBackprop(self.dim)
+        else:
+            self.net = MLPBayesianByBackprop(self.dim)
+        self.opt = optax.adam(self.learning_rate)
+        self.opt_state = self.opt.init(self.net.params)
+        self.xs: List[np.ndarray] = []
+        self.ys: List[float] = []
+
+        net_forward, net_kl, kl_weight = self.net.forward, self.net.kl, self.kl_weight
+
+        @jax.jit
+        def _train_step(params, opt_state, x, y, rng):
+            def loss_fn(p):
+                pred = net_forward(p, x, rng)
+                return jnp.mean((pred - y) ** 2) + kl_weight * net_kl(p)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._train_step = _train_step
+
+    def _encode(self, sampled: Dict[str, Array]) -> np.ndarray:
+        parts = []
+        for k, choices in self.param.items():
+            parts.append(np.eye(len(choices))[np.asarray(sampled[k])])
+        return np.concatenate(parts, axis=1)
+
+    def _mutate(self, bs: int) -> Dict[str, Array]:
+        best = [sol for _, sol in self.best_solutions(self.num_mutations)]
+        if not best:
+            return {
+                k: jnp.asarray(self.rng.integers(0, len(v), bs))
+                for k, v in self.param.items()
+            }
+        picks = [best[self.rng.integers(0, len(best))] for _ in range(bs)]
+        keys = sorted(self.param.keys())
+        n_mut = max(1, int(self.temp * len(keys)))
+        out = {k: np.array([p[k] for p in picks]) for k in keys}
+        for i in range(bs):
+            for k in self.rng.choice(keys, n_mut, replace=False):
+                out[k][i] = self.rng.integers(0, len(self.param[k]))
+        return {k: jnp.asarray(v) for k, v in out.items()}
+
+    def sample_internal(self, batch_size: Optional[int] = None) -> Tuple:
+        bs = batch_size or self.batch_size
+        cand = self._mutate(max(bs * 4, self.num_mutations))
+        if self.xs:
+            x = jnp.asarray(self._encode(cand))
+            pred = np.asarray(self.net.forward(self.net.params, x, self._next_key()))
+            order = np.argsort(pred)[:bs]
+        else:
+            order = np.arange(bs)
+        sampled = {k: v[jnp.asarray(order)] for k, v in cand.items()}
+        self.last_sample_internal_res = (sampled,)
+        return (sampled,)
+
+    def update_params(self, cost: Array) -> None:
+        sampled = self.last_sample_internal_res[0]
+        self.xs.extend(list(self._encode(sampled)))
+        self.ys.extend(list(np.asarray(cost).reshape(-1)))
+        x = jnp.asarray(np.stack(self.xs))
+        y = jnp.asarray(np.array(self.ys))
+        params, opt_state = self.net.params, self.opt_state
+        loss = None
+        for _ in range(self.train_steps):
+            params, opt_state, loss = self._train_step(
+                params, opt_state, x, y, self._next_key()
+            )
+        self.net.params, self.opt_state = params, opt_state
+        self.last_predictor_loss_mean = float(loss) if loss is not None else None
+        self.temp = max(self.min_temp, self.temp * self.anneal_rate)
+        self.last_sample_internal_res = None

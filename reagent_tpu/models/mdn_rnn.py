@@ -9,10 +9,11 @@ follow the reference convention [seq_len, batch, ...].
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from reagent_tpu.core import types as rlt
@@ -115,4 +116,64 @@ class MemoryNetwork(nn.Module):
             last_step_hidden=last_h,
             last_step_cell=last_c,
             all_steps_hidden=all_hidden,
+        )
+
+
+class MDNRNNMemorySample(NamedTuple):
+    """One world-model transition sequence (reference models/mdn_rnn.py:108-117)."""
+
+    state: np.ndarray
+    action: np.ndarray
+    next_state: np.ndarray
+    reward: np.ndarray
+    not_terminal: np.ndarray
+
+
+class MDNRNNMemoryPool:
+    """Ring buffer of world-model sequences (reference models/mdn_rnn.py:121-170).
+
+    Batches come out [seq_len, batch, ...] — time-major, the layout MDN-RNN
+    scans over — assembled host-side in numpy and shipped to device once.
+    """
+
+    def __init__(self, max_replay_memory_size: int):
+        from collections import deque
+
+        self.replay_memory = deque(maxlen=max_replay_memory_size)
+        self.max_replay_memory_size = max_replay_memory_size
+
+    @property
+    def memory_size(self) -> int:
+        return len(self.replay_memory)
+
+    def insert_into_memory(self, state, action, next_state, reward, not_terminal):
+        self.replay_memory.append(
+            MDNRNNMemorySample(
+                state=np.asarray(state, np.float32),
+                action=np.asarray(action, np.float32),
+                next_state=np.asarray(next_state, np.float32),
+                reward=np.asarray(reward, np.float32),
+                not_terminal=np.asarray(not_terminal, np.float32),
+            )
+        )
+
+    def sample_memories(self, batch_size: int, rng=None) -> "rlt.MemoryNetworkInput":
+        rng = rng or np.random.default_rng()
+        idx = rng.integers(0, self.memory_size, batch_size)
+        samples = [self.replay_memory[i] for i in idx]
+        # stack to [batch, seq_len, ...] then transpose to time-major
+        state, action, next_state, reward, not_terminal = (
+            np.stack([getattr(s, f) for s in samples])
+            for f in ("state", "action", "next_state", "reward", "not_terminal")
+        )
+        tm = lambda x: jnp.asarray(np.moveaxis(x, 0, 1))  # noqa: E731
+        reward_tm = tm(reward)
+        return rlt.MemoryNetworkInput(
+            state=rlt.FeatureData(float_features=tm(state)),
+            action=rlt.FeatureData(float_features=tm(action)),
+            next_state=rlt.FeatureData(float_features=tm(next_state)),
+            reward=reward_tm,
+            not_terminal=tm(not_terminal),
+            time_diff=jnp.ones_like(reward_tm),
+            step=None,
         )

@@ -125,6 +125,159 @@ class Lion(OptimizerConfig):
         )
 
 
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Adadelta(OptimizerConfig):
+    lr: float = 1.0
+    rho: float = 0.9
+    eps: float = 1e-6
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        opt = optax.adadelta(self.lr, rho=self.rho, eps=self.eps)
+        if self.weight_decay:
+            opt = optax.chain(optax.add_decayed_weights(self.weight_decay), opt)
+        return opt
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Adamax(OptimizerConfig):
+    """Reference optimizer/uninferrable_optimizers.py:Adamax."""
+
+    lr: float = 2e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        if self.weight_decay:
+            return optax.adamaxw(
+                self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+        return optax.adamax(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class NAdam(OptimizerConfig):
+    lr: float = 2e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        if self.weight_decay:
+            return optax.nadamw(
+                self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+        return optax.nadam(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class RAdam(OptimizerConfig):
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        opt = optax.radam(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+        if self.weight_decay:
+            opt = optax.chain(optax.add_decayed_weights(self.weight_decay), opt)
+        return opt
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Rprop(OptimizerConfig):
+    lr: float = 1e-2
+    etas: Tuple[float, float] = (0.5, 1.2)
+    step_sizes: Tuple[float, float] = (1e-6, 50.0)
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.rprop(
+            self.lr, eta_minus=self.etas[0], eta_plus=self.etas[1],
+            min_step_size=self.step_sizes[0], max_step_size=self.step_sizes[1],
+        )
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class LBFGS(OptimizerConfig):
+    """Reference optimizer/uninferrable_optimizers.py:LBFGS.  optax.lbfgs
+    needs a value_fn at update time; usable for full-batch sub-problems."""
+
+    lr: float = 1.0
+    memory_size: int = 10
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.lbfgs(self.lr, memory_size=self.memory_size)
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class ASGD(OptimizerConfig):
+    """Averaged SGD: sgd + polyak trajectory averaging (ema of iterates)."""
+
+    lr: float = 1e-2
+    alpha: float = 0.75
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        opt = optax.sgd(self.lr)
+        if self.weight_decay:
+            opt = optax.chain(optax.add_decayed_weights(self.weight_decay), opt)
+        return opt
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class SparseAdam(OptimizerConfig):
+    """Reference wraps torch.optim.SparseAdam for embedding tables; on TPU
+    sparse grads are dense segment-sums, so this is Adam."""
+
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.adam(self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Lamb(OptimizerConfig):
+    """Layer-wise adaptive large-batch optimizer — TPU headroom for the big
+    data-parallel batches the mesh makes cheap (not in the reference)."""
+
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-6
+    weight_decay: float = 0.0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.lamb(
+            self.lr, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+            weight_decay=self.weight_decay,
+        )
+
+
+@OPTIMIZERS.register()
+@dataclasses.dataclass(frozen=True)
+class Adafactor(OptimizerConfig):
+    """Memory-factored optimizer — halves optimizer-state HBM for large
+    embedding/transformer params (not in the reference)."""
+
+    lr: Optional[float] = None
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        return optax.adafactor(self.lr)
+
+
 def make_optimizer(config: Any) -> optax.GradientTransformation:
     """Build an optax transform from a tagged-union config / instance / None.
 
