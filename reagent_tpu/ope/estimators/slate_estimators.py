@@ -139,3 +139,121 @@ class PseudoInverseEstimator(Estimator):
         )
         est = (np.sum(ratio, axis=1) - (k - 1)) * input.log_reward
         return _res(input, est)
+
+
+# --------------------------------------------------------------------------
+# Slate metrics (reference slate_estimators.py:798-909) — what "reward of a
+# slate" means for a benchmark.  Vectorized over a batch of slates: input is
+# per-slot item relevances [N, K], output per-slate reward [N].
+# --------------------------------------------------------------------------
+
+
+class SlateMetric:
+    """Base: sum of slot rewards (reference :798-832)."""
+
+    def slot_weights(self, slate_size: int) -> np.ndarray:
+        return np.ones(slate_size)
+
+    def slot_values(self, rewards: np.ndarray) -> np.ndarray:
+        return rewards
+
+    def calculate_reward(self, rewards: np.ndarray) -> np.ndarray:
+        rewards = np.atleast_2d(np.asarray(rewards, np.float64))
+        w = self.slot_weights(rewards.shape[1])
+        return self.slot_values(rewards) @ w
+
+    def __call__(self, rewards: np.ndarray) -> np.ndarray:
+        return self.calculate_reward(rewards)
+
+
+class DCGSlateMetric(SlateMetric):
+    """(2^rel - 1) / log2(pos + 1) (reference :834-860)."""
+
+    def slot_weights(self, slate_size: int) -> np.ndarray:
+        return 1.0 / np.log2(np.arange(2, slate_size + 2, dtype=np.float64))
+
+    def slot_values(self, rewards: np.ndarray) -> np.ndarray:
+        return np.power(2.0, rewards) - 1.0
+
+
+class NDCGSlateMetric(DCGSlateMetric):
+    """DCG normalized by the ideal DCG over the full item-relevance vector
+    (reference :863-888)."""
+
+    def __init__(self, item_rewards: np.ndarray):
+        self._sorted_rewards = np.sort(np.asarray(item_rewards, np.float64))[::-1]
+
+    def calculate_reward(self, rewards: np.ndarray) -> np.ndarray:
+        rewards = np.atleast_2d(np.asarray(rewards, np.float64))
+        K = rewards.shape[1]
+        assert len(self._sorted_rewards) >= K
+        w = self.slot_weights(K)
+        idcg = float((np.power(2.0, self._sorted_rewards[:K]) - 1.0) @ w)
+        if idcg == 0:
+            return np.zeros(rewards.shape[0])
+        return (self.slot_values(rewards) @ w) / idcg
+
+
+class ERRSlateMetric(SlateMetric):
+    """Expected reciprocal rank (reference :891-909)."""
+
+    def __init__(self, max_reward: float):
+        self._max_reward = max_reward
+
+    def slot_weights(self, slate_size: int) -> np.ndarray:
+        return 1.0 / (np.arange(slate_size, dtype=np.float64) + 1.0)
+
+    def calculate_reward(self, rewards: np.ndarray) -> np.ndarray:
+        rewards = np.atleast_2d(np.asarray(rewards, np.float64))
+        d = 2.0 ** self._max_reward
+        r = (np.power(2.0, np.clip(rewards, 0.0, self._max_reward)) - 1.0) / d
+        # err[i] = prod_{j<i}(1-r_j) * r_i — cumulative product along slots
+        stop = np.cumprod(1.0 - r, axis=1)
+        prior = np.concatenate([np.ones((r.shape[0], 1)), stop[:, :-1]], axis=1)
+        err = prior * r
+        return err @ self.slot_weights(r.shape[1])
+
+
+# --------------------------------------------------------------------------
+# Ranking distributions (reference :129-210): P(slate | item values)
+# --------------------------------------------------------------------------
+
+
+class RankingDistribution:
+    """Base for distributions over rankings given item values."""
+
+    def __init__(self, deterministic: bool = False):
+        self._deterministic = deterministic
+
+    def sample_ranking(self, values: np.ndarray, rng=None) -> np.ndarray:
+        raise NotImplementedError
+
+
+class PassThruDistribution(RankingDistribution):
+    """Rank by raw item value (reference :168-186)."""
+
+    def sample_ranking(self, values: np.ndarray, rng=None) -> np.ndarray:
+        values = np.asarray(values, np.float64)
+        if self._deterministic:
+            return np.argsort(-values)
+        rng = rng or np.random.default_rng()
+        p = values - values.min()
+        p = p / p.sum() if p.sum() > 0 else np.full(len(values), 1.0 / len(values))
+        return rng.choice(len(values), size=len(values), replace=False, p=p)
+
+
+class FrechetDistribution(RankingDistribution):
+    """Frechet-sort: perturb values with Gumbel^(1/shape) noise then sort
+    (reference :189-210); equivalent to samplers/frechet.py FrechetSort."""
+
+    def __init__(self, shape: float, deterministic: bool = False):
+        super().__init__(deterministic)
+        self._shape = shape
+
+    def sample_ranking(self, values: np.ndarray, rng=None) -> np.ndarray:
+        values = np.asarray(values, np.float64)
+        if self._deterministic:
+            return np.argsort(-values)
+        rng = rng or np.random.default_rng()
+        gumbel = -np.log(-np.log(rng.uniform(size=values.shape)))
+        return np.argsort(-(self._shape * np.log(np.maximum(values, 1e-12)) + gumbel))
