@@ -15,3 +15,24 @@ def soft_update(source_params, target_params, tau: float):
     return jax.tree_util.tree_map(
         lambda s, t: tau * s + (1.0 - tau) * t, source_params, target_params
     )
+
+
+def soft_update_excluding(source_params, target_params, tau: float, hard_copy_fn):
+    """Soft update, except leaves whose key path satisfies ``hard_copy_fn``
+    are copied verbatim (tau=1).
+
+    Reference: reagent/models/no_soft_update_embedding.py — embedding tables
+    are excluded from polyak blending and synced by hard copy instead.
+    ``hard_copy_fn`` receives the '/'-joined key path of each leaf, e.g.
+    ``lambda path: "embedding" in path``.
+    """
+
+    def blend(path, s, t):
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        if hard_copy_fn(name):
+            return s
+        return tau * s + (1.0 - tau) * t
+
+    return jax.tree_util.tree_map_with_path(blend, source_params, target_params)

@@ -82,3 +82,16 @@ class EvolutionPool:
     ) -> Array:
         """vmapped population evaluation (replaces the reference's loop)."""
         return jax.vmap(reward_fn)(self.population_tensors)
+
+
+class OneMaxEvolutionPool(EvolutionPool):
+    """Demo pool (reference :121-132): reward is maximized as the tensor
+    approaches [+inf, -inf, +inf, -inf, ...]."""
+
+    def compute_local_reward(self, individual: Dict[str, Array]) -> Array:
+        sigmoid_params = jax.nn.sigmoid(individual["data"])
+        total = jnp.sum(sigmoid_params[0::2]) + jnp.sum(1 - sigmoid_params[1::2])
+        return total / sigmoid_params.shape[0]
+
+    def compute_rewards(self) -> Array:
+        return self.compute_all_local_rewards(self.compute_local_reward)
