@@ -123,3 +123,33 @@ class EpisodicDataset:
 
     def __len__(self) -> int:
         return self.num_episodes
+
+
+class OfflineReplayBufferDataset:
+    """Sample a fixed number of batches from a prefilled replay buffer without
+    stepping the env (reference replay_buffer_dataset.py:153-206)."""
+
+    def __init__(
+        self,
+        rb,
+        rb_state,
+        batch_maker: Callable[[Dict[str, Array]], Any],
+        batch_size: int,
+        num_batches: int,
+        rng: Optional[Array] = None,
+    ):
+        self.rb = rb
+        self.rb_state = rb_state
+        self.batch_maker = batch_maker
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Any]:
+        for _ in range(self.num_batches):
+            self.rng, r = jax.random.split(self.rng)
+            batch = self.rb.sample(self.rb_state, r, self.batch_size)
+            yield self.batch_maker(batch)

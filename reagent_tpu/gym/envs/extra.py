@@ -128,6 +128,45 @@ class StringGame(FunctionalEnv):
         return FunctionalEnvState(physics=physics, t=t), obs, reward, done
 
 
+class StringGameV1(FunctionalEnv):
+    """Stochastic-length string game (ref pomdp/string_game_v1.py:46).
+
+    2 actions (A=0, B=1); episodes last at most 3 steps with state-dependent
+    survival: after playing A the episode continues with p=0.5, after B with
+    p=0.9.  Terminal reward: +5 for observing 'AAA', +4 for 'BA', else 0 —
+    planning with termination probabilities prefers B first (E[Q_B]=1.8 >
+    E[Q_A]=1.25).
+    """
+
+    observation_dim = 2
+    action_dim = 2
+    discrete = True
+    max_steps = 3
+
+    def reset(self, rng: Array):
+        physics = jnp.full((3,), -1.0)  # action history, -1 = none
+        return FunctionalEnvState(physics=physics, t=jnp.zeros((), jnp.int32)), jnp.zeros(2)
+
+    def step(self, state: FunctionalEnvState, action: Array, rng: Array):
+        a = action.astype(jnp.float32)
+        t = state.t
+        physics = state.physics.at[t].set(a)
+        t1 = t + 1
+        # survival prob depends on the action just taken (the new state)
+        p_continue = jnp.where(a == 0.0, 0.5, 0.9)
+        survived = jax.random.uniform(rng) < p_continue
+        done = jnp.logical_or(t1 >= self.max_steps, jnp.logical_not(survived))
+        is_aaa = jnp.logical_and(t1 == 3, jnp.all(physics == jnp.array([0.0, 0.0, 0.0])))
+        is_ba = jnp.logical_and(
+            t1 == 2, jnp.all(physics[:2] == jnp.array([1.0, 0.0]))
+        )
+        reward = jnp.where(
+            done, jnp.where(is_aaa, 5.0, jnp.where(is_ba, 4.0, 0.0)), 0.0
+        )
+        obs = jax.nn.one_hot(a.astype(jnp.int32), 2)
+        return FunctionalEnvState(physics=physics, t=t1), obs, reward, done
+
+
 class ChangingArms(FunctionalEnv):
     """Sparse-feature bandit (ref changing_arms.py): each arm's reward mean
     drifts; obs stacks [mu, legal-mask, mu-changes] rows as a flat vector.

@@ -138,3 +138,68 @@ def test_dqn_open_gridworld_reaches_bar():
     mean_r = float(np.mean(np.asarray(returns)))
     print(f"gridworld mean eval: {mean_r}")
     assert mean_r >= 0.9
+
+
+def test_string_game_v1_termination_values():
+    """E[Q_B-first]=1.8 > E[Q_A-first]=1.25 (ref pomdp/string_game_v1.py:24-27)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reagent_tpu.gym.envs import build_env
+
+    env = build_env({"StringGameV1": {}})
+
+    def rollout(first_action, seed):
+        rng = jax.random.PRNGKey(seed)
+        st, obs = env.reset(rng)
+        acts = [first_action, 0, 0]  # optimal continuation is A, A
+        total, done, t = 0.0, False, 0
+        while not done:
+            rng, r = jax.random.split(rng)
+            st, obs, rew, done = env.step(st, jnp.asarray(acts[t]), r)
+            total += float(rew)
+            done = bool(done)
+            t += 1
+        return total
+
+    b_mean = np.mean([rollout(1, s) for s in range(400)])
+    a_mean = np.mean([rollout(0, s + 1000) for s in range(400)])
+    assert 1.4 < b_mean < 2.2, b_mean
+    assert 0.9 < a_mean < 1.6, a_mean
+    assert b_mean > a_mean
+
+
+def test_env_union_build():
+    from reagent_tpu.gym.envs import build_env
+
+    env = build_env({"CartPole": {}})
+    assert env.action_dim == 2
+
+
+def test_offline_replay_buffer_dataset():
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.gym.datasets import OfflineReplayBufferDataset
+    from reagent_tpu.replay.circular import ReplayBuffer
+
+    rb = ReplayBuffer(replay_capacity=128, batch_size=16)
+    state = rb.init(
+        observation=jnp.zeros(4), action=jnp.int32(0), reward=jnp.float32(0),
+        terminal=jnp.bool_(False),
+    )
+    for i in range(64):
+        state = rb.add(
+            state,
+            observation=jnp.full((4,), i, jnp.float32),
+            action=jnp.asarray(i % 2, jnp.int32),
+            reward=jnp.asarray(1.0),
+            terminal=jnp.asarray(i % 8 == 7),
+        )
+    ds = OfflineReplayBufferDataset(
+        rb, state, batch_maker=lambda b: b, batch_size=16, num_batches=3
+    )
+    batches = list(ds)
+    assert len(batches) == 3
+    assert batches[0]["state"].shape[0] == 16
