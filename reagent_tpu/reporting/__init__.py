@@ -10,6 +10,7 @@ from reagent_tpu.reporting.reporters import (
     WorldModelReporter,
     DiscreteCRRReporter,
     RewardNetworkReporter,
+    Seq2RewardCompressReporter,
     Seq2RewardReporter,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "WorldModelReporter",
     "DiscreteCRRReporter",
     "RewardNetworkReporter",
+    "Seq2RewardCompressReporter",
     "Seq2RewardReporter",
 ]

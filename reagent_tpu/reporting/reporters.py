@@ -78,3 +78,16 @@ class Seq2RewardReporter(ReporterBase):
         super().__init__(
             **_mk(["mse_loss", "step_entropy_loss", "q_values_mean", "eval_mse_loss"])
         )
+
+
+class Seq2RewardCompressReporter(Seq2RewardReporter):
+    """Reference: reporting/seq2reward_reporter.py:106."""
+
+    def __init__(self):
+        ReporterBase.__init__(
+            self,
+            **_mk(
+                ["mse_loss", "accuracy", "eval_mse_loss", "eval_accuracy",
+                 "eval_q_values_mean", "eval_action_distribution"]
+            ),
+        )
