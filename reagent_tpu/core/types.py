@@ -423,6 +423,8 @@ class CBInput:
     arms: Optional[Array] = None
     mdp_id: Optional[Array] = None
     importance_weight: Optional[Array] = None
+    features_of_chosen_arm: Optional[Array] = None
+    chosen_arm_id: Optional[Array] = None
 
     @classmethod
     def input_prototype(cls, batch_size: int = 2, num_arms: int = 3, dim: int = 4) -> "CBInput":

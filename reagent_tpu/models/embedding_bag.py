@@ -118,39 +118,10 @@ class SparseDQN(nn.Module):
         )(concat, training=training)
 
 
-def make_sparse_preprocessor(
-    feature_config: rlt.ModelFeatureConfig,
-) -> "SparsePreprocessor":
-    return SparsePreprocessor(feature_config)
-
-
-class SparsePreprocessor:
-    """Raw jagged python ID lists -> padded IdListFeature arrays.
-
-    Reference: sparse_preprocessor.py make_sparse_preprocessor (exact vs
-    hashed mapping chosen per IdMappingConfig).
-    """
-
-    def __init__(self, feature_config: rlt.ModelFeatureConfig):
-        self.feature_config = feature_config
-
-    def preprocess_id_list(
-        self, raw: Dict[str, List[List[int]]]
-    ) -> Dict[str, rlt.IdListFeature]:
-        import numpy as np
-
-        out = {}
-        for cfg in self.feature_config.id_list_feature_configs:
-            mapping = self.feature_config.id_mapping_config[cfg.id_mapping_name]
-            rows = raw[cfg.name]
-            L = mapping.max_length
-            ids = np.zeros((len(rows), L), np.int32)
-            mask = np.zeros((len(rows), L), bool)
-            for i, row in enumerate(rows):
-                row = list(row)[:L]
-                ids[i, : len(row)] = row
-                mask[i, : len(row)] = True
-            out[cfg.name] = rlt.IdListFeature(
-                ids=jnp.asarray(ids), mask=jnp.asarray(mask)
-            )
-        return out
+# Canonical jagged-feature ETL lives in preprocessing/sparse_preprocessor.py
+# (MapIDList/MapIDScoreList mapper hierarchy, exact vs hashed); re-exported
+# here for back-compat with the original model-side location.
+from reagent_tpu.preprocessing.sparse_preprocessor import (  # noqa: E402
+    SparsePreprocessor,
+    make_sparse_preprocessor,
+)

@@ -17,6 +17,12 @@ from reagent_tpu.parallel.data_parallel import (
     replicate,
     shard_batch,
 )
+from reagent_tpu.parallel.model_parallel import (
+    embedding_specs,
+    make_2d_mesh,
+    make_model_parallel_train_step,
+    shard_state,
+)
 from reagent_tpu.parallel.scaling import host_shard_batch, measure_scaling_efficiency
 
 __all__ = [
@@ -24,6 +30,10 @@ __all__ = [
     "make_data_parallel_train_step",
     "replicate",
     "shard_batch",
+    "embedding_specs",
+    "make_2d_mesh",
+    "make_model_parallel_train_step",
+    "shard_state",
     "host_shard_batch",
     "measure_scaling_efficiency",
 ]

@@ -517,3 +517,42 @@ class IDListFeatures:
                 )
             data[k] = per_feature
         return data
+
+
+class IDScoreListFeatures:
+    """Gather jagged (id, score) features into padded IdScoreListFeature layout.
+
+    Reference transforms.py:263 builds weighted KeyedJaggedTensors; here each
+    row is a list of (id, score) pairs (or a {id: score} dict) padded to
+    [B, max_len] ids/scores with a validity mask.
+    """
+
+    def __init__(self, keys: List[str], feature_ids: List[int], max_len: int = 16):
+        self.keys = keys
+        self.feature_ids = feature_ids
+        self.max_len = max_len
+
+    def __call__(self, data: Dict) -> Dict:
+        from reagent_tpu.core.types import IdScoreListFeature
+
+        for k in self.keys:
+            per_feature = {}
+            for fid in self.feature_ids:
+                rows = data[k].get(fid, [])
+                rows = [list(r.items()) if isinstance(r, dict) else r for r in rows]
+                B = len(rows)
+                ids = np.zeros((B, self.max_len), np.int64)
+                scores = np.zeros((B, self.max_len), np.float32)
+                mask = np.zeros((B, self.max_len), np.float32)
+                for i, pairs in enumerate(rows):
+                    n = min(len(pairs), self.max_len)
+                    for j in range(n):
+                        ids[i, j], scores[i, j] = pairs[j]
+                        mask[i, j] = 1.0
+                per_feature[fid] = IdScoreListFeature(
+                    ids=jax.numpy.asarray(ids),
+                    scores=jax.numpy.asarray(scores),
+                    mask=jax.numpy.asarray(mask),
+                )
+            data[k] = per_feature
+        return data
