@@ -145,7 +145,8 @@ def bench_reagent_tpu(num_steps: int = 30000) -> float:
         return idx, idx
 
     cfg = OnlineLoopConfig(
-        num_steps=num_steps, train_every=1, train_after=0, minibatch_size=512
+        num_steps=num_steps, train_every=1, train_after=0, minibatch_size=512,
+        unroll=2,  # measured +2% steps/s and ~10x faster compile vs unroll=1
     )
     maker = lambda d: make_discrete_dqn_batch(d, 2)
 

@@ -32,6 +32,7 @@ class OnlineLoopConfig:
     train_after: int = 0
     minibatch_size: int = 512
     episode_return_buffer: int = 64  # ring of most recent episode returns
+    unroll: int = 1  # lax.scan unroll factor (trades compile time for loop overhead)
 
 
 # Compiled-runner cache: run_online_training builds a jitted closure; without
@@ -196,8 +197,12 @@ def run_online_training(
             jnp.zeros((), jnp.int32),
         )
         if config.train_after > 0:
-            carry, _ = jax.lax.scan(env_body, carry, None, length=config.train_after)
-        carry, td_losses = jax.lax.scan(round_body, carry, None, length=num_rounds)
+            carry, _ = jax.lax.scan(
+                env_body, carry, None, length=config.train_after, unroll=config.unroll
+            )
+        carry, td_losses = jax.lax.scan(
+            round_body, carry, None, length=num_rounds, unroll=config.unroll
+        )
         _, _, rb_state, trainer_state, _, _, returns, ep_idx = carry
         return trainer_state, rb_state, {
             "recent_episode_returns": returns,
