@@ -286,3 +286,38 @@ def test_parametric_sarsa_cartpole():
     )
     print(f"parametric SARSA cartpole eval: {mean_r}")
     assert mean_r >= 100.0
+
+
+@pytest.mark.slow
+def test_discrete_crr_cartpole():
+    """discrete_crr_cartpole_online.yaml: bar 100 (online CRR, actor greedy eval)."""
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training import DiscreteCRRTrainer
+
+    env = CartPole(max_steps=200)
+    actor = FullyConnectedDQN(
+        state_dim=4, action_dim=2, sizes=[128, 64],
+        activations=["leaky_relu", "leaky_relu"],
+    )
+    q1 = FullyConnectedDQN(
+        state_dim=4, action_dim=2, sizes=[128, 64],
+        activations=["leaky_relu", "leaky_relu"],
+    )
+    trainer = DiscreteCRRTrainer(
+        actor_network=actor,
+        q1_network=q1,
+        rl=RLParameters(gamma=0.99, target_update_rate=0.2),
+        q_network_optimizer={"Adam": {"lr": 0.003}},
+        actor_network_optimizer={"Adam": {"lr": 0.003}},
+        beta=1.0,
+    )
+
+    def actor_scores(ts, obs):
+        return trainer.actor_network.apply(ts.actor_params, obs)
+
+    mean_r = _run_discrete(
+        env, trainer, actor_scores, lambda d: make_discrete_dqn_batch(d, 2),
+        num_steps=15000,
+    )
+    print(f"discrete CRR cartpole eval: {mean_r}")
+    assert mean_r >= 100.0
