@@ -33,7 +33,18 @@ class FunctionalEnv:
     discrete: bool
     max_steps: int
 
+    #: uniforms consumed by ``reset_from_uniform`` (noise-tape fast path)
+    reset_noise_dim: int = 0
+
     def reset(self, rng: Array) -> Tuple[FunctionalEnvState, Array]:
+        raise NotImplementedError
+
+    def reset_from_uniform(self, u: Array) -> Tuple[FunctionalEnvState, Array]:
+        """Reset from ``reset_noise_dim`` pre-drawn U[0,1) values.
+
+        Lets fused loops pre-generate all reset randomness as one vectorized
+        draw (a noise tape) instead of splitting keys per step.
+        """
         raise NotImplementedError
 
     def step(
@@ -66,8 +77,14 @@ class CartPole(FunctionalEnv):
     def __init__(self, max_steps: int = 500):
         self.max_steps = max_steps
 
+    reset_noise_dim = 4
+
     def reset(self, rng: Array):
         physics = jax.random.uniform(rng, (4,), minval=-0.05, maxval=0.05)
+        return FunctionalEnvState(physics=physics, t=jnp.zeros((), jnp.int32)), physics
+
+    def reset_from_uniform(self, u: Array):
+        physics = -0.05 + 0.1 * u
         return FunctionalEnvState(physics=physics, t=jnp.zeros((), jnp.int32)), physics
 
     def step(self, state: FunctionalEnvState, action: Array, rng: Array):
@@ -118,10 +135,21 @@ class Pendulum(FunctionalEnv):
         th, thdot = physics
         return jnp.stack([jnp.cos(th), jnp.sin(th), thdot])
 
+    reset_noise_dim = 2
+
     def reset(self, rng: Array):
         r1, r2 = jax.random.split(rng)
         th = jax.random.uniform(r1, (), minval=-jnp.pi, maxval=jnp.pi)
         thdot = jax.random.uniform(r2, (), minval=-1.0, maxval=1.0)
+        physics = jnp.stack([th, thdot])
+        return (
+            FunctionalEnvState(physics=physics, t=jnp.zeros((), jnp.int32)),
+            self._obs(physics),
+        )
+
+    def reset_from_uniform(self, u: Array):
+        th = -jnp.pi + 2.0 * jnp.pi * u[0]
+        thdot = -1.0 + 2.0 * u[1]
         physics = jnp.stack([th, thdot])
         return (
             FunctionalEnvState(physics=physics, t=jnp.zeros((), jnp.int32)),

@@ -3,6 +3,7 @@
 from reagent_tpu.replay.circular import ReplayBuffer, ReplayBufferState
 from reagent_tpu.replay.sum_tree import SumTree, SumTreeState
 from reagent_tpu.replay.prioritized import PrioritizedReplayBuffer
+from reagent_tpu.replay.packed import PackedReplayBuffer, PackedReplayBufferState
 
 __all__ = [
     "ReplayBuffer",
@@ -10,4 +11,6 @@ __all__ = [
     "SumTree",
     "SumTreeState",
     "PrioritizedReplayBuffer",
+    "PackedReplayBuffer",
+    "PackedReplayBufferState",
 ]

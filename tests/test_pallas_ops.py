@@ -71,3 +71,111 @@ def test_quantile_huber_matches_reference():
     ref = (huber * weight).mean()
     assert float(loss) == pytest.approx(float(ref), rel=1e-5)
     assert float(loss_xla) == pytest.approx(float(ref), rel=1e-5)
+
+
+def test_fused_dqn_trainer_matches_dqn_trainer():
+    """FusedDQNTrainer (one Pallas kernel) == DQNTrainer in 10-step lockstep."""
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training import DQNTrainer
+    from reagent_tpu.training.fused_dqn_trainer import FusedDQNTrainer
+
+    B = 64
+    q_net = FullyConnectedDQN(
+        state_dim=4, action_dim=2, sizes=[32, 16],
+        activations=["leaky_relu", "leaky_relu"],
+    )
+    rl = RLParameters(gamma=0.99, target_update_rate=0.2)
+    ref = DQNTrainer(q_network=q_net, rl=rl, optimizer={"Adam": {"lr": 0.01}})
+    fused = FusedDQNTrainer(
+        q_network=q_net, rl=rl, optimizer={"Adam": {"lr": 0.01}},
+        minibatch_size=B, interpret=INTERPRET,
+    )
+    rng = jax.random.PRNGKey(0)
+    ref_state = ref.init(rng, jnp.zeros((1, 4)))
+    fused_state = fused.init(rng, jnp.zeros((1, 4)))
+
+    rngn = np.random.default_rng(0)
+
+    def make_batch():
+        a = jax.nn.one_hot(jnp.asarray(rngn.integers(0, 2, B)), 2)
+        return rlt.DiscreteDqnInput(
+            state=rlt.FeatureData(
+                float_features=jnp.asarray(rngn.normal(size=(B, 4)), jnp.float32)),
+            next_state=rlt.FeatureData(
+                float_features=jnp.asarray(rngn.normal(size=(B, 4)), jnp.float32)),
+            action=a, next_action=a,
+            reward=jnp.asarray(rngn.normal(size=(B, 1)), jnp.float32),
+            time_diff=jnp.ones((B, 1)), step=jnp.ones((B, 1), jnp.int32),
+            not_terminal=jnp.asarray(rngn.random((B, 1)) > 0.1, jnp.float32),
+            possible_actions_mask=jnp.ones((B, 2)),
+            possible_next_actions_mask=jnp.ones((B, 2)),
+        )
+
+    for _ in range(10):
+        batch = make_batch()
+        ref_state, mr = ref.train_step(ref_state, batch)
+        fused_state, mf = fused.train_step(fused_state, batch)
+        np.testing.assert_allclose(
+            float(mr["td_loss"]), float(mf["td_loss"]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            float(mr["q_values_mean"]), float(mf["q_values_mean"]),
+            rtol=2e-4, atol=2e-5)
+
+    obs = jnp.asarray(rngn.normal(size=(16, 4)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ref.q_values(ref_state, obs)),
+        np.asarray(fused.q_values(fused_state, obs)),
+        rtol=2e-4, atol=2e-5,
+    )
+    # export round-trip: kernel layout -> flax params -> q_network.apply
+    p = fused.to_flax_params(fused_state)
+    np.testing.assert_allclose(
+        np.asarray(q_net.apply(p, obs)),
+        np.asarray(fused.q_values(fused_state, obs)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_fused_dqn_trainer_masked_and_single_q():
+    """Masked possible_next_actions + double_q=False parity."""
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training import DQNTrainer
+    from reagent_tpu.training.fused_dqn_trainer import FusedDQNTrainer
+
+    B = 32
+    q_net = FullyConnectedDQN(
+        state_dim=3, action_dim=4, sizes=[16], activations=["relu"])
+    rl = RLParameters(gamma=0.9, target_update_rate=0.1)
+    rngn = np.random.default_rng(1)
+    mask = jnp.asarray(rngn.random((B, 4)) > 0.3, jnp.float32)
+    mask = mask.at[:, 0].set(1.0)  # at least one action possible
+    a = jax.nn.one_hot(jnp.asarray(rngn.integers(0, 4, B)), 4)
+    batch = rlt.DiscreteDqnInput(
+        state=rlt.FeatureData(
+            float_features=jnp.asarray(rngn.normal(size=(B, 3)), jnp.float32)),
+        next_state=rlt.FeatureData(
+            float_features=jnp.asarray(rngn.normal(size=(B, 3)), jnp.float32)),
+        action=a, next_action=a,
+        reward=jnp.asarray(rngn.normal(size=(B, 1)), jnp.float32),
+        time_diff=jnp.ones((B, 1)), step=jnp.ones((B, 1), jnp.int32),
+        not_terminal=jnp.ones((B, 1)),
+        possible_actions_mask=jnp.ones((B, 4)),
+        possible_next_actions_mask=mask,
+    )
+    for dq in (True, False):
+        ref = DQNTrainer(q_network=q_net, rl=rl, double_q_learning=dq,
+                         optimizer={"Adam": {"lr": 0.005}})
+        fused = FusedDQNTrainer(q_network=q_net, rl=rl, double_q_learning=dq,
+                                optimizer={"Adam": {"lr": 0.005}},
+                                minibatch_size=B, interpret=INTERPRET)
+        rng = jax.random.PRNGKey(3)
+        rs, fs = ref.init(rng, jnp.zeros((1, 3))), fused.init(rng, jnp.zeros((1, 3)))
+        for _ in range(3):
+            rs, mr = ref.train_step(rs, batch)
+            fs, mf = fused.train_step(fs, batch)
+            np.testing.assert_allclose(
+                float(mr["td_loss"]), float(mf["td_loss"]), rtol=2e-4, atol=2e-5)

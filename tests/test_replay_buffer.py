@@ -211,3 +211,64 @@ def test_prioritized_replay():
         terminal=jnp.bool_(False),
     )
     assert float(rb.get_priority(state2, jnp.array([20]))[0]) == pytest.approx(10.0)
+
+
+# ---------------------------------------------------------------- packed fast path
+
+
+def test_packed_replay_matches_circular():
+    """PackedReplayBuffer == ReplayBuffer(stack=1, horizon=1) on identical adds."""
+    from reagent_tpu.replay import PackedReplayBuffer
+
+    rb1 = ReplayBuffer(replay_capacity=64, update_horizon=1, gamma=0.99)
+    rb2 = PackedReplayBuffer(replay_capacity=64, gamma=0.99)
+    s1, s2 = rb1.init(**_example()), rb2.init(**_example())
+    rng = np.random.default_rng(0)
+    for _ in range(100):  # wraps the 64-capacity ring
+        tr = dict(
+            observation=jnp.asarray(rng.normal(size=4), jnp.float32),
+            action=jnp.int32(rng.integers(0, 3)),
+            reward=jnp.float32(rng.normal()),
+            terminal=jnp.bool_(rng.random() < 0.1),
+        )
+        s1, s2 = rb1.add(s1, **tr), rb2.add(s2, **tr)
+
+    idx = jnp.asarray(rng.integers(0, 30, 16), jnp.int32)
+    b1 = rb1.sample(s1, jax.random.PRNGKey(0), 16, indices=idx)
+    b2 = rb2.sample(s2, jax.random.PRNGKey(0), 16, indices=idx)
+    for k in ("state", "action", "reward", "next_state", "next_action", "terminal", "step"):
+        np.testing.assert_allclose(
+            np.asarray(b1[k], np.float32), np.asarray(b2[k], np.float32),
+            rtol=1e-6, err_msg=k,
+        )
+    # identical closed-form index sampling (same rng -> same indices)
+    i1 = rb1.sample_index_batch(s1, jax.random.PRNGKey(7), 64)
+    i2 = rb2.sample_index_batch(s2, jax.random.PRNGKey(7), 64)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_packed_replay_extra_keys_and_batch_add():
+    from reagent_tpu.replay import PackedReplayBuffer
+
+    rb = PackedReplayBuffer(replay_capacity=32)
+    ex = dict(_example(), logged_propensity=jnp.zeros((), jnp.float32))
+    state = rb.init(**ex)
+    T = 10
+    state = rb.add_batch(
+        state,
+        observation=jnp.arange(T * 4, dtype=jnp.float32).reshape(T, 4),
+        action=jnp.arange(T, dtype=jnp.int32) % 2,
+        reward=jnp.arange(T, dtype=jnp.float32),
+        terminal=jnp.zeros(T, jnp.bool_),
+        logged_propensity=jnp.full(T, 0.5, jnp.float32),
+    )
+    batch = rb.sample(state, jax.random.PRNGKey(0), 8)
+    assert batch["logged_propensity"].shape == (8, 1)
+    assert batch["next_logged_propensity"].shape == (8, 1)
+    np.testing.assert_allclose(np.asarray(batch["logged_propensity"]), 0.5)
+    # next_state of row i is row i+1's observation
+    idx = np.asarray(batch["indices"])[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(batch["next_state"]),
+        np.arange(T * 4, dtype=np.float32).reshape(T, 4)[(idx + 1) % 32],
+    )
