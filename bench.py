@@ -163,7 +163,8 @@ def bench_reagent_tpu(num_steps: int = 30000) -> float:
 def main():
     ours = bench_reagent_tpu()
     try:
-        baseline = bench_reference_torch_cpu()
+        # best of 3: the torch loop is sensitive to transient host load
+        baseline = max(bench_reference_torch_cpu(120) for _ in range(3))
     except Exception:
         baseline = None
     result = {

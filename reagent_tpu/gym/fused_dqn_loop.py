@@ -76,10 +76,19 @@ def run_fused_online_dqn(
     T = config.temperature
     K = config.episode_return_buffer
     cap = rb.capacity
-    train_fn = getattr(type(trainer).train_step, "__wrapped__", None) or type(trainer).train_step
     add_fn = type(rb).add.__wrapped__
     sample_fn = type(rb).sample.__wrapped__
     R = env.reset_noise_dim
+    # Prefer the raw-row kernel interface (no XLA-side batch assembly).
+    packed_cols = None
+    if hasattr(trainer, "configure_packed"):
+        packed_cols = trainer.configure_packed(rb)
+        train_packed_fn = type(trainer).train_step_packed.__wrapped__
+    else:
+        train_fn = (
+            getattr(type(trainer).train_step, "__wrapped__", None)
+            or type(trainer).train_step
+        )
 
     def body(carry, xs):
         env_state, obs, rb_state, tstate, ep_ret, returns, ep_idx = carry
@@ -119,22 +128,32 @@ def run_fused_online_dqn(
         u = jnp.floor(sample_u * valid_count.astype(jnp.float32)).astype(jnp.int32)
         indices = ((cur - t_excl - 1 - u) % cap).astype(jnp.int32)
 
-        batch_dict = sample_fn(rb, rb_state, None, B, indices=indices)
-        act_oh = jax.nn.one_hot(batch_dict["action"][:, 0], A, dtype=jnp.float32)
-        ones = jnp.ones((B, A), jnp.float32)
-        batch = rlt.DiscreteDqnInput(
-            state=rlt.FeatureData(float_features=batch_dict["state"]),
-            next_state=rlt.FeatureData(float_features=batch_dict["next_state"]),
-            action=act_oh,
-            next_action=act_oh,
-            reward=batch_dict["reward"],
-            time_diff=None,
-            step=None,
-            not_terminal=1.0 - batch_dict["terminal"].astype(jnp.float32),
-            possible_actions_mask=ones,
-            possible_next_actions_mask=ones,
-        )
-        tstate, metrics = train_fn(trainer, tstate, batch)
+        if packed_cols is not None:
+            rows = rb_state.rows[indices]
+            next_rows = rb_state.rows[(indices + 1) % cap]
+            tstate, metrics = train_packed_fn(
+                trainer, tstate, rows, next_rows, packed_cols
+            )
+        else:
+            batch_dict = sample_fn(rb, rb_state, None, B, indices=indices)
+            act_oh = jax.nn.one_hot(
+                batch_dict["action"][:, 0], A, dtype=jnp.float32
+            )
+            ones = jnp.ones((B, A), jnp.float32)
+            batch = rlt.DiscreteDqnInput(
+                state=rlt.FeatureData(float_features=batch_dict["state"]),
+                next_state=rlt.FeatureData(
+                    float_features=batch_dict["next_state"]),
+                action=act_oh,
+                next_action=act_oh,
+                reward=batch_dict["reward"],
+                time_diff=None,
+                step=None,
+                not_terminal=1.0 - batch_dict["terminal"].astype(jnp.float32),
+                possible_actions_mask=ones,
+                possible_next_actions_mask=ones,
+            )
+            tstate, metrics = train_fn(trainer, tstate, batch)
         carry = (env_state, next_obs, rb_state, tstate, ep_ret, returns, ep_idx)
         return carry, metrics["td_loss"]
 

@@ -81,29 +81,47 @@ def make_fused_dqn_train_kernel(
     double_q_learning: bool,
     b1: float = 0.9,
     b2: float = 0.999,
+    packed: Tuple[int, int, int, int] = None,
     interpret: bool = False,
 ):
     """Build the fused update callable.
 
     dims: [(in_i, out_i)] per layer; activations: per layer, last 'linear'.
 
-    Returns ``run(lr_t, eps_t, obs, next_obs, act_onehot, reward, not_term,
-    mask, params8)`` where params8 is the flat list W[], b[], W_tgt[],
-    b_tgt[], mW[], mb[], vW[], vb[] (weights transposed [out, in], biases
-    [1, out]); outputs are the updated params8 followed by a [1, 4] metrics
-    row [td_loss, q_values_mean, q_taken_mean, reward_mean].
+    Tensor interface (``packed=None``): ``run(lr_t, eps_t, obs, next_obs,
+    act_onehot, reward, not_term, mask, params8)``.
+
+    Packed interface (``packed=(obs_col, act_col, rew_col, term_col)``):
+    ``run(lr_t, eps_t, rows, next_rows, params8)`` — raw replay rows from
+    ``PackedReplayBuffer`` are unpacked (column slices + in-kernel one-hot)
+    without any XLA-side batch assembly; all next-actions are possible.
+
+    params8 is the flat list W[], b[], W_tgt[], b_tgt[], mW[], mb[], vW[],
+    vb[] (weights transposed [out, in], biases [1, out]); outputs are the
+    updated params8 followed by a [1, 4] metrics row
+    [td_loss, q_values_mean, q_taken_mean, reward_mean].
+
+    The online forwards over obs and next_obs share one [2B, ...] matmul
+    chain; the backward reuses it by zero-padding dL/dq over the next_obs
+    half (zero rows contribute nothing to the weight grads).
     """
     L = len(dims)
     assert len(activations) == L
     B = int(batch_size)
+    A = dims[-1][1]
+    D = dims[0][0]
     g = float(gamma)
     t_ = float(tau)
     _B1, _B2 = float(b1), float(b2)
+    n_batch_inputs = 2 if packed else 6
 
     def kernel(*refs):
         lr_ref, eps_ref = refs[0], refs[1]
-        obs_ref, nobs_ref, act_ref, rew_ref, nt_ref, mask_ref = refs[2:8]
-        base = 8
+        if packed:
+            rows_ref, next_rows_ref = refs[2:4]
+        else:
+            obs_ref, nobs_ref, act_ref, rew_ref, nt_ref, mask_ref = refs[2:8]
+        base = 2 + n_batch_inputs
         W = [refs[base + i] for i in range(L)]
         b = [refs[base + L + i] for i in range(L)]
         Wt = [refs[base + 2 * L + i] for i in range(L)]
@@ -142,32 +160,55 @@ def make_fused_dqn_train_kernel(
                     hs.append(h)
             return (h, zs, hs) if save else h
 
-        # --- TD target (no grad) -------------------------------------------
-        nobs = nobs_ref[:].astype(jnp.float32)
-        mask = mask_ref[:].astype(jnp.float32)
-        penalty = ACTION_NOT_POSSIBLE_VAL * (1.0 - mask)
-        next_q_t = fwd(nobs, Wt, bt) + penalty
+        # --- unpack the batch -----------------------------------------------
+        if packed:
+            obs_col, act_col, rew_col, term_col = packed
+            rows = rows_ref[:].astype(jnp.float32)
+            obs = rows[:, obs_col:obs_col + D]
+            nobs = next_rows_ref[:, obs_col:obs_col + D].astype(jnp.float32)
+            a_col = rows[:, act_col:act_col + 1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1).astype(
+                jnp.float32
+            )
+            act = (jnp.abs(iota - a_col) < 0.5).astype(jnp.float32)
+            rew = rows[:, rew_col:rew_col + 1]
+            nt = 1.0 - rows[:, term_col:term_col + 1]
+            penalty = None  # all next actions possible in the packed loop
+        else:
+            obs = obs_ref[:].astype(jnp.float32)
+            nobs = nobs_ref[:].astype(jnp.float32)
+            act = act_ref[:].astype(jnp.float32)
+            rew = rew_ref[:].astype(jnp.float32)
+            nt = nt_ref[:].astype(jnp.float32)
+            mask = mask_ref[:].astype(jnp.float32)
+            penalty = ACTION_NOT_POSSIBLE_VAL * (1.0 - mask)
+
+        # --- shared online forward over [obs; next_obs] ---------------------
+        x2 = jnp.concatenate([obs, nobs], axis=0)  # [2B, D]
+        q2, zs, hs = fwd(x2, W, b, save=True)
+        q = q2[:B]  # [B, A]
+        next_q_t = fwd(nobs, Wt, bt)
+        if penalty is not None:
+            next_q_t = next_q_t + penalty
         if double_q_learning:
-            next_q = fwd(nobs, W, b) + penalty
+            next_q = q2[B:]
+            if penalty is not None:
+                next_q = next_q + penalty
             sel = _first_argmax_onehot(next_q)
         else:
             sel = _first_argmax_onehot(next_q_t)
         next_q_sel = jnp.sum(next_q_t * sel, axis=1, keepdims=True)  # [B,1]
-        rew = rew_ref[:].astype(jnp.float32)
-        nt = nt_ref[:].astype(jnp.float32)
-        y = rew + g * next_q_sel * nt  # [B,1]
+        y = rew + g * next_q_sel * nt  # [B,1] — stop_gradient implicit (manual bwd)
 
-        # --- online forward (saving activations) ---------------------------
-        obs = obs_ref[:].astype(jnp.float32)
-        act = act_ref[:].astype(jnp.float32)
-        q, zs, hs = fwd(obs, W, b, save=True)  # q [B,A]
         q_taken = jnp.sum(q * act, axis=1, keepdims=True)  # [B,1]
         err = q_taken - y
         loss = jnp.mean(err * err)
 
-        # --- backward through the MLP --------------------------------------
-        # d loss / d q = (2/B) * err * act
-        dz = (2.0 / B) * err * act  # [B,A]; last layer linear
+        # --- backward through the shared [2B] chain --------------------------
+        # dL/dq is zero on the next_obs half; zero rows add nothing to grads.
+        dz = jnp.concatenate(
+            [(2.0 / B) * err * act, jnp.zeros((B, A), jnp.float32)], axis=0
+        )  # [2B, A]; last layer linear
         for i in range(L - 1, -1, -1):
             h_prev = hs[i]  # [B, in_i]
             # dW^T = dz^T . h_prev  ([out, in])
@@ -211,24 +252,33 @@ def make_fused_dqn_train_kernel(
     smem = lambda: pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run(lr_t, eps_t, obs, nobs, act, rew, nt, mask, params8):
-        """params8: flat list W[],b[],Wt[],bt[],mW[],mb[],vW[],vb[]."""
+    def _call(batch_arrays, params8):
         out_shape = tuple(
             jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params8
         ) + (jax.ShapeDtypeStruct((1, 4), jnp.float32),)
         return pl.pallas_call(
             kernel,
-            in_specs=[smem(), smem()] + [vmem()] * (6 + 8 * L),
+            in_specs=[smem(), smem()] + [vmem()] * (n_batch_inputs + 8 * L),
             out_specs=tuple([vmem()] * (8 * L))
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
             out_shape=out_shape,
             interpret=interpret,
-        )(
-            lr_t.reshape(1, 1),
-            eps_t.reshape(1, 1),
-            obs, nobs, act, rew, nt, mask,
-            *params8,
-        )
+        )(*batch_arrays, *params8)
+
+    if packed:
+        def run(lr_t, eps_t, rows, next_rows, params8):
+            return _call(
+                (lr_t.reshape(1, 1), eps_t.reshape(1, 1), rows, next_rows),
+                params8,
+            )
+    else:
+        def run(lr_t, eps_t, obs, nobs, act, rew, nt, mask, params8):
+            """params8: flat list W[],b[],Wt[],bt[],mW[],mb[],vW[],vb[]."""
+            return _call(
+                (lr_t.reshape(1, 1), eps_t.reshape(1, 1),
+                 obs, nobs, act, rew, nt, mask),
+                params8,
+            )
 
     return run
 

@@ -98,6 +98,7 @@ class FusedDQNTrainer:
         self._layout = None  # (kernel_idx, bias_idx, dims) set at init
         self._params_example = None
         self._run = None
+        self._packed_runs = {}  # column layout -> packed-row kernel runner
 
     # ------------------------------------------------------------------ init
 
@@ -151,6 +152,65 @@ class FusedDQNTrainer:
             batch.possible_next_actions_mask.astype(jnp.float32),
             params8,
         )
+        L = len(state.W)
+        new_state = FusedDQNTrainerState(
+            W=tuple(outs[0:L]), b=tuple(outs[L:2 * L]),
+            Wt=tuple(outs[2 * L:3 * L]), bt=tuple(outs[3 * L:4 * L]),
+            mW=tuple(outs[4 * L:5 * L]), mb=tuple(outs[5 * L:6 * L]),
+            vW=tuple(outs[6 * L:7 * L]), vb=tuple(outs[7 * L:8 * L]),
+            step=state.step + 1,
+        )
+        m = outs[8 * L]
+        metrics = {
+            "td_loss": m[0, 0],
+            "q_values_mean": m[0, 1],
+            "q_taken_mean": m[0, 2],
+            "reward_mean": m[0, 3],
+        }
+        return new_state, metrics
+
+    # ------------------------------------------------- packed-row fast path
+
+    def configure_packed(self, rb) -> Tuple[int, int, int, int]:
+        """Build (once) the raw-replay-row kernel for a PackedReplayBuffer.
+
+        Returns the column layout key; must be called after ``init`` and
+        after ``rb.init`` (the buffer's row layout is set there).
+        """
+        lay = rb._layout
+        cols = (
+            lay["observation"][0], lay["action"][0],
+            lay["reward"][0], lay["terminal"][0],
+        )
+        if cols not in self._packed_runs:
+            _, _, dims = self._layout
+            self._packed_runs[cols] = make_fused_dqn_train_kernel(
+                dims, self._acts, self.minibatch_size, self.gamma, self.tau,
+                self.double_q_learning, b1=self.b1, b2=self.b2,
+                packed=cols, interpret=self._interpret,
+            )
+        return cols
+
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+    def train_step_packed(
+        self,
+        state: FusedDQNTrainerState,
+        rows: Array,
+        next_rows: Array,
+        cols: Tuple[int, int, int, int],
+    ) -> Tuple[FusedDQNTrainerState, Dict[str, Array]]:
+        """Update straight from gathered replay rows (no batch assembly)."""
+        run = self._packed_runs[cols]
+        t = (state.step + 1).astype(jnp.float32)
+        bc1 = 1.0 - self.b1 ** t
+        bc2 = 1.0 - self.b2 ** t
+        lr_t = (self.lr * jnp.sqrt(bc2) / bc1).astype(jnp.float32)
+        eps_t = (self.eps * jnp.sqrt(bc2)).astype(jnp.float32)
+        params8 = (
+            list(state.W) + list(state.b) + list(state.Wt) + list(state.bt)
+            + list(state.mW) + list(state.mb) + list(state.vW) + list(state.vb)
+        )
+        outs = run(lr_t, eps_t, rows, next_rows, params8)
         L = len(state.W)
         new_state = FusedDQNTrainerState(
             W=tuple(outs[0:L]), b=tuple(outs[L:2 * L]),
