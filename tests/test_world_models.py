@@ -288,3 +288,81 @@ def test_cem_linear_dynamics_offline_e2e():
     mean_ret = float(np.mean(returns))
     print(f"CEM LinDyna eval: {mean_ret} (bar -2.5)")
     assert mean_ret >= -2.5
+
+
+@pytest.mark.slow
+def test_cem_cartpole_offline_reaches_bar():
+    """CEM planning on CartPole beats the 100 bar
+    (reference gym/tests/configs/world_model/cem_cartpole_offline.yaml:
+    horizon 10, 1 world model, pop 100, iters 10, elites 15, gamma 1.0,
+    passing_score_bar 100, 1 eval episode)."""
+    import numpy as np
+
+    from reagent_tpu.gym.envs import CartPole
+    from reagent_tpu.models.cem_planner import CEMPlannerNetwork
+
+    env = CartPole(max_steps=200)
+    S_, A_ = env.observation_dim, env.action_dim
+    rng = jax.random.PRNGKey(0)
+
+    # offline corpus: random rollouts as [T, B, ·] sequences (short horizon
+    # segments; done-resets folded in by masking not_terminal)
+    T_seg = 10
+
+    def rollout(r):
+        st, obs = env.reset(r)
+
+        def step(carry, rr):
+            st, obs = carry
+            a = jax.random.randint(rr, (), 0, A_)
+            nst, nobs, rew, done = env.step(st, a, rr)
+            onehot = jax.nn.one_hot(a, A_)
+            out = (obs, onehot, nobs, rew, 1.0 - done.astype(jnp.float32))
+            # reset on done so segments stay in-distribution
+            rst, robs = env.reset(rr)
+            nst = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(done, x, y), rst, nst)
+            nobs = jnp.where(done, robs, nobs)
+            return (nst, nobs), out
+
+        _, seq = jax.lax.scan(step, (st, obs), jax.random.split(r, T_seg))
+        return seq
+
+    obs, act, nobs, rew, nt = jax.vmap(rollout, out_axes=1)(
+        jax.random.split(rng, 1024))
+    batch = rlt.MemoryNetworkInput(
+        state=rlt.FeatureData(float_features=obs),
+        action=rlt.FeatureData(float_features=act),
+        next_state=rlt.FeatureData(float_features=nobs),
+        reward=rew, not_terminal=nt, time_diff=None, step=None,
+    )
+    mn = MemoryNetwork(state_dim=S_, action_dim=A_, num_hiddens=100,
+                       num_hidden_layers=2, num_gaussians=1)
+    trainer = MDNRNNTrainer(mn, MDNRNNTrainerParameters(
+        hidden_size=100, num_hidden_layers=2, num_gaussians=1,
+        learning_rate=1e-3, not_terminal_loss_weight=200.0))
+    ts = trainer.init(rng, batch)
+    for _ in range(300):
+        ts, m = trainer.train_step(ts, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    planner = CEMPlannerNetwork(
+        mem_net=mn, mem_net_params_list=[ts.params],
+        cem_num_iterations=10, cem_population_size=100,
+        ensemble_population_size=1, num_elites=15,
+        plan_horizon_length=10, state_dim=S_, action_dim=A_,
+        discrete_action=True, terminal_effective=True, gamma=1.0,
+    )
+
+    r_eval = jax.random.PRNGKey(7)
+    st, obs0 = env.reset(r_eval)
+    total = 0.0
+    for _ in range(200):
+        r_eval, rp, rs = jax.random.split(r_eval, 3)
+        a, _ = planner(rlt.FeatureData(float_features=obs0[None]), rp)
+        st, obs0, rew, done = env.step(st, jnp.asarray(a), rs)
+        total += float(rew)
+        if bool(done):
+            break
+    print(f"CEM CartPole eval: {total} (bar 100)")
+    assert total >= 100.0
