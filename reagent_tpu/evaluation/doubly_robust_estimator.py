@@ -18,7 +18,7 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_FRAC_TRAIN = 0.4
 DEFAULT_FRAC_VALID = 0.1
-DEFAULT_BOOTSTRAP_SAMPLE_PERCENT = 0.5
+DEFAULT_BOOTSTRAP_SAMPLE_PERCENT = 0.25
 DEFAULT_BOOTSTRAP_NUM_SAMPLES = 1000
 
 
@@ -120,9 +120,16 @@ class DoublyRobustEstimator:
         self, edp: EvaluationDataPage, hp: Optional[DoublyRobustHP] = None
     ) -> Tuple[CpeEstimate, CpeEstimate, CpeEstimate]:
         """Returns (direct_method, inverse_propensity, doubly_robust)."""
-        if hp is not None:
-            self.bootstrap_sample_percent = hp.bootstrap_sample_percent
-            self.bootstrap_num_samples = hp.bootstrap_num_samples
+        # Effective bootstrap settings are per-call: an hp override must not
+        # leak into later hp-less calls on the same estimator instance.
+        sample_percent = (
+            hp.bootstrap_sample_percent if hp is not None
+            else self.bootstrap_sample_percent
+        )
+        num_samples = (
+            hp.bootstrap_num_samples if hp is not None
+            else self.bootstrap_num_samples
+        )
         isd = self._get_importance_sampling_inputs(edp)
         importance_weights = isd.importance_weight
 
@@ -147,8 +154,8 @@ class DoublyRobustEstimator:
         direct_method_score = float(np.mean(direct_method_values))
         dm_std = bootstrapped_std_error_of_mean(
             direct_method_values.reshape(-1),
-            sample_percent=self.bootstrap_sample_percent,
-            num_samples=self.bootstrap_num_samples,
+            sample_percent=sample_percent,
+            num_samples=num_samples,
         )
         direct_method = CpeEstimate(
             raw=direct_method_score,
@@ -166,8 +173,8 @@ class DoublyRobustEstimator:
         ips_score = float(np.mean(ips))
         ips_std = bootstrapped_std_error_of_mean(
             ips.reshape(-1),
-            sample_percent=self.bootstrap_sample_percent,
-            num_samples=self.bootstrap_num_samples,
+            sample_percent=sample_percent,
+            num_samples=num_samples,
         )
         inverse_propensity = CpeEstimate(
             raw=ips_score,
@@ -179,8 +186,8 @@ class DoublyRobustEstimator:
         dr_score = float(np.mean(dr))
         dr_std = bootstrapped_std_error_of_mean(
             dr.reshape(-1),
-            sample_percent=self.bootstrap_sample_percent,
-            num_samples=self.bootstrap_num_samples,
+            sample_percent=sample_percent,
+            num_samples=num_samples,
         )
         doubly_robust = CpeEstimate(
             raw=dr_score,

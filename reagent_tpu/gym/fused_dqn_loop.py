@@ -63,6 +63,16 @@ def run_fused_online_dqn(
     assert hasattr(env, "reset_from_uniform"), (
         "env must provide reset_from_uniform(u) for the noise-tape fast path"
     )
+    # The fused loop trains from step 0 (no train_after warm-up): the buffer
+    # must be prefilled, or minibatch sampling would gather never-written
+    # all-zero rows and silently train on fabricated transitions.
+    prefilled = int(rb_state.add_count)
+    if prefilled < config.minibatch_size:
+        raise ValueError(
+            f"fused DQN loop requires a prefilled replay buffer: add_count="
+            f"{prefilled} < minibatch_size={config.minibatch_size}. Prefill "
+            "with a random policy (gym/utils.fill_replay_buffer) first."
+        )
 
     key = (id(env), id(trainer), id(rb), config)
     cached = _CACHE.get(key)

@@ -68,7 +68,11 @@ def argmax_random_tie_breaks(
     assert scores.ndim == 2
     num_cols = scores.shape[1]
     if rng is None:
-        rng = jax.random.PRNGKey(0)
+        raise ValueError(
+            "argmax_random_tie_breaks requires an explicit rng: the reference "
+            "draws fresh randomness per call, so a silent fixed default key "
+            "would make 'randomized' tie-breaking deterministic."
+        )
     perm = jax.random.permutation(rng, num_cols)
     permuted = scores[:, perm]
     if mask is not None:

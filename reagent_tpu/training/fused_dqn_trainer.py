@@ -110,6 +110,10 @@ class FusedDQNTrainer:
         kernel_idx, bias_idx, dims = extract_mlp_layout(params)
         self._layout = (kernel_idx, bias_idx, dims)
         acts = self.activations + ["linear"] * (len(dims) - len(self.activations))
+        assert acts[-1] in ("linear", "identity"), (
+            "fused kernel's analytic backward assumes a linear output layer; "
+            f"got final activation {acts[-1]!r}"
+        )
         self._run = make_fused_dqn_train_kernel(
             dims, acts, self.minibatch_size, self.gamma, self.tau,
             self.double_q_learning, b1=self.b1, b2=self.b2,
@@ -117,6 +121,26 @@ class FusedDQNTrainer:
         )
         self._acts = acts
         W, b = params_to_kernel_layout(params, kernel_idx, bias_idx)
+        # One-time numeric probe: the kernel's forward (with the activation
+        # list we inferred) must match the flax module's own forward.  Catches
+        # q-networks whose `activations` attribute is absent or mismatched
+        # (e.g. a nonlinearity on the output layer) before they silently
+        # train with wrong gradients.
+        probe = mlp_forward_transposed(
+            obs_prototype.astype(jnp.float32).reshape(1, -1)
+            if obs_prototype.ndim == 1 else obs_prototype.astype(jnp.float32),
+            tuple(W), tuple(b), acts,
+        )
+        want = self.q_network.apply(params, obs_prototype)
+        want = want.reshape(probe.shape)
+        if not bool(jnp.allclose(probe, want, atol=1e-4, rtol=1e-4)):
+            raise ValueError(
+                "FusedDQNTrainer activation mismatch: kernel forward with "
+                f"activations {acts} disagrees with q_network.apply "
+                f"(max abs diff {float(jnp.max(jnp.abs(probe - want))):.3e}). "
+                "Ensure q_network exposes an `activations` list matching its "
+                "hidden layers and has a linear output layer."
+            )
         zeros = lambda xs: tuple(jnp.zeros_like(x) for x in xs)
         return FusedDQNTrainerState(
             W=tuple(W), b=tuple(b),
