@@ -35,15 +35,33 @@ class Evaluator(ObservableMixin):
 
     _observable_value_types = {"cpe_details": CpeDetails}
 
-    def __init__(self, action_names, gamma, trainer=None, metrics_to_score=None) -> None:
+    def __init__(
+        self, action_names, gamma, trainer=None, metrics_to_score=None,
+        use_jax_sequential_estimators: bool = True,
+    ) -> None:
         super().__init__()
         self.action_names = action_names
         self.metrics_to_score = metrics_to_score or []
         self.doubly_robust_estimator = DoublyRobustEstimator()
-        self.sequential_doubly_robust_estimator = SequentialDoublyRobustEstimator(gamma)
-        self.weighted_sequential_doubly_robust_estimator = (
-            WeightedSequentialDoublyRobustEstimator(gamma)
-        )
+        if use_jax_sequential_estimators:
+            # device-vectorized [N_traj, T] path (parity-tested vs the numpy
+            # oracles in tests/test_jax_cpe.py); scales to production EDPs
+            from reagent_tpu.evaluation.jax_sequential_estimators import (
+                JaxSequentialDoublyRobustEstimator,
+                JaxWeightedSequentialDoublyRobustEstimator,
+            )
+
+            self.sequential_doubly_robust_estimator = (
+                JaxSequentialDoublyRobustEstimator(gamma)
+            )
+            self.weighted_sequential_doubly_robust_estimator = (
+                JaxWeightedSequentialDoublyRobustEstimator(gamma)
+            )
+        else:
+            self.sequential_doubly_robust_estimator = SequentialDoublyRobustEstimator(gamma)
+            self.weighted_sequential_doubly_robust_estimator = (
+                WeightedSequentialDoublyRobustEstimator(gamma)
+            )
 
     def evaluate_post_training(self, edp: EvaluationDataPage) -> CpeDetails:
         cpe_details = CpeDetails()
