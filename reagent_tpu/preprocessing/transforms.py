@@ -277,6 +277,7 @@ class VarLengthSequences:
             lengths = np.diff(np.concatenate([offsets, [value.shape[0]]]))
             num_obs = len(lengths)
             max_len = int(lengths.max())
+            self.max_len = max_len  # read by VarLengthSequenceDenseNormalization
             feature_dim = value.shape[1]
             padded_value = np.zeros((num_obs * max_len, feature_dim), value.dtype)
             padded_presence = np.zeros((num_obs * max_len, feature_dim), presence.dtype)
@@ -317,6 +318,78 @@ class FixedLengthSequenceDenseNormalization:
         data = self.dense_normalization(data)
         self.slate_view.slate_size = self.fixed_length_sequences.expected_length
         return self.slate_view(data)
+
+
+class VarLengthSequenceDenseNormalization:
+    """VarLengthSequences + DenseNormalization + SlateView (ref :722).
+
+    The slate size is inferred at runtime from the largest sequence in the
+    batch (VarLengthSequences records it) and patched into SlateView.
+    """
+
+    def __init__(
+        self,
+        keys: List[str],
+        sequence_id: int,
+        normalization_data: NormalizationData,
+        to_keys_item_presence: Optional[List[str]] = None,
+        to_keys: Optional[List[str]] = None,
+    ):
+        to_keys = to_keys or [f"{k}:{sequence_id}" for k in keys]
+        self.var_length_sequences = VarLengthSequences(
+            keys,
+            sequence_id,
+            to_keys=to_keys,
+            to_keys_item_presence=to_keys_item_presence,
+        )
+        self.dense_normalization = DenseNormalization(to_keys, normalization_data)
+        # SlateView's slate_size is resolved lazily per batch
+        self.slate_view = SlateView(to_keys, slate_size=-1)
+
+    def __call__(self, data: Dict) -> Dict:
+        data = self.var_length_sequences(data)
+        data = self.dense_normalization(data)
+        # assumes max_len is shared across keys (reference :764-766)
+        self.slate_view.slate_size = self.var_length_sequences.max_len
+        return self.slate_view(data)
+
+
+class MapIDListFeatures:
+    """Apply a SparsePreprocessor to raw jagged id-list / id-score-list
+    columns (ref :347; deprecated there in favor of IDListFeatures /
+    IDScoreListFeatures but still part of the public surface).
+
+    Missing keys (or an empty feature config) map to None.
+    """
+
+    def __init__(
+        self,
+        id_list_keys: List[str],
+        id_score_list_keys: List[str],
+        feature_config,
+    ):
+        from reagent_tpu.preprocessing.sparse_preprocessor import (
+            make_sparse_preprocessor,
+        )
+
+        self.id_list_keys = id_list_keys
+        self.id_score_list_keys = id_score_list_keys
+        overlap = set(id_list_keys) & set(id_score_list_keys)
+        assert not overlap, f"overlapping keys: {overlap}"
+        self.feature_config = feature_config
+        self.sparse_preprocessor = make_sparse_preprocessor(feature_config)
+
+    def __call__(self, data: Dict) -> Dict:
+        for k in self.id_list_keys + self.id_score_list_keys:
+            if not self.sparse_preprocessor.id2name or k not in data:
+                data[k] = None
+                continue
+            assert isinstance(data[k], dict), f"{k} has type {type(data[k])}"
+            if k in self.id_list_keys:
+                data[k] = self.sparse_preprocessor.preprocess_id_list(data[k])
+            else:
+                data[k] = self.sparse_preprocessor.preprocess_id_score_list(data[k])
+        return data
 
 
 class AppendConstant:

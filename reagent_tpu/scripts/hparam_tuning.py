@@ -81,3 +81,115 @@ def grid_search(
     scores = [r[objective][0] for r in results]
     best = int(np.argmin(scores) if minimize else np.argmax(scores))
     return configs[best], results[best]
+
+
+# ---------------------------------------------------------------- Bayesian
+
+
+def _encode(config: Dict, space: List[Dict]) -> np.ndarray:
+    """Config -> unit-cube vector (range params min-max scaled, choice params
+    index-scaled)."""
+    xs = []
+    for p in space:
+        v = config[p["name"]]
+        if p["type"] == "range":
+            lo, hi = p["bounds"]
+            xs.append((float(v) - lo) / max(hi - lo, 1e-12))
+        else:
+            vals = list(p["values"])
+            xs.append(vals.index(v) / max(len(vals) - 1, 1))
+    return np.asarray(xs, np.float64)
+
+
+def _sample_config(space: List[Dict], rng: np.random.Generator) -> Dict:
+    out = {}
+    for p in space:
+        if p["type"] == "range":
+            lo, hi = p["bounds"]
+            v = float(rng.uniform(lo, hi))
+            if p.get("value_type") == "int":
+                v = int(round(v))
+            out[p["name"]] = v
+        else:
+            out[p["name"]] = p["values"][int(rng.integers(len(p["values"])))]
+    return out
+
+
+def bayesian_search(
+    param_space: List[Dict],
+    eval_fn: Callable[[Dict], Dict[str, float]],
+    objective: str,
+    fixed_params: Optional[Dict] = None,
+    num_iterations: int = 20,
+    num_random_init: int = 5,
+    num_seeds: int = 3,
+    minimize: bool = False,
+    num_proc: int = 4,
+    num_candidates: int = 512,
+    length_scale: float = 0.25,
+    noise: float = 1e-3,
+    seed: int = 0,
+) -> Tuple[Dict, Dict[str, Tuple[float, float]]]:
+    """GP + expected-improvement Bayesian optimization.
+
+    The reference delegates this to Ax (reagent/scripts/hparam_tuning.py:20
+    ``ax_evaluate_params`` inside an AxClient loop); Ax is not in this image,
+    so this is a self-contained GP-EI loop with the same parameter-space
+    schema (list of {"name", "type": "range"|"choice", "bounds"|"values"})
+    and the same seed-averaged evaluation contract.
+
+    Returns (best_params, best_metrics).
+    """
+    rng = np.random.default_rng(seed)
+    sign = 1.0 if minimize else -1.0  # internally minimize sign * objective
+
+    observed_cfgs: List[Dict] = []
+    observed_results: List[Dict[str, Tuple[float, float]]] = []
+    X: List[np.ndarray] = []
+    y: List[float] = []
+
+    def evaluate(cfg: Dict) -> None:
+        res = evaluate_params(
+            [cfg], fixed_params or {}, eval_fn, num_seeds=num_seeds,
+            num_proc=num_proc,
+        )[0]
+        observed_cfgs.append(cfg)
+        observed_results.append(res)
+        X.append(_encode(cfg, param_space))
+        y.append(sign * res[objective][0])
+
+    for _ in range(min(num_random_init, num_iterations)):
+        evaluate(_sample_config(param_space, rng))
+
+    for _ in range(num_iterations - len(observed_cfgs)):
+        Xa = np.stack(X)
+        ya = np.asarray(y)
+        mu_y, std_y = ya.mean(), max(ya.std(), 1e-9)
+        yn = (ya - mu_y) / std_y
+
+        def k(a, b):
+            d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            return np.exp(-d2 / (2 * length_scale**2))
+
+        Kxx = k(Xa, Xa) + noise * np.eye(len(Xa))
+        L = np.linalg.cholesky(Kxx)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+
+        cands = [_sample_config(param_space, rng) for _ in range(num_candidates)]
+        Xc = np.stack([_encode(c, param_space) for c in cands])
+        Kxc = k(Xa, Xc)
+        mu = Kxc.T @ alpha
+        v = np.linalg.solve(L, Kxc)
+        var = np.clip(1.0 - (v**2).sum(0), 1e-12, None)
+        sd = np.sqrt(var)
+        best_y = yn.min()
+        # expected improvement (minimization form)
+        from scipy.stats import norm as _norm
+
+        z = (best_y - mu) / sd
+        ei = (best_y - mu) * _norm.cdf(z) + sd * _norm.pdf(z)
+        evaluate(cands[int(np.argmax(ei))])
+
+    scores = [sign * r[objective][0] for r in observed_results]
+    best = int(np.argmin(scores))
+    return observed_cfgs[best], observed_results[best]

@@ -392,3 +392,42 @@ def test_mlp_scorer_ranking_state():
     m2 = MLPScorer(input_dim=5 + 3 * 4, sizes=[8], activations=["relu"], has_user_feat=True)
     p2 = m2.init(jax.random.PRNGKey(0), obs)
     assert m2.apply(p2, obs).shape == (2,)
+
+
+def test_bayesian_hparam_search_finds_optimum():
+    """GP-EI search localizes the max of a smooth 1-D objective far better
+    than its random-init phase alone (reference hparam_tuning.py:20 Ax flow)."""
+    from reagent_tpu.scripts.hparam_tuning import bayesian_search
+
+    calls = []
+
+    def eval_fn(p):
+        x = p["x"]
+        calls.append(x)
+        return {"score": -((x - 0.7) ** 2)}
+
+    space = [{"name": "x", "type": "range", "bounds": [0.0, 1.0]}]
+    best, metrics = bayesian_search(
+        space, eval_fn, objective="score", num_iterations=18,
+        num_random_init=4, num_seeds=1, num_proc=1, seed=3,
+    )
+    assert abs(best["x"] - 0.7) < 0.12, (best, metrics)
+    assert metrics["score"][0] > -0.02
+
+
+def test_bayesian_hparam_search_choice_params():
+    from reagent_tpu.scripts.hparam_tuning import bayesian_search
+
+    def eval_fn(p):
+        return {"loss": {16: 3.0, 32: 1.0, 64: 2.0}[p["width"]] + p["lr"]}
+
+    space = [
+        {"name": "width", "type": "choice", "values": [16, 32, 64]},
+        {"name": "lr", "type": "range", "bounds": [0.0, 1.0]},
+    ]
+    best, _ = bayesian_search(
+        space, eval_fn, objective="loss", minimize=True,
+        num_iterations=15, num_random_init=5, num_seeds=1, num_proc=1, seed=0,
+    )
+    assert best["width"] == 32
+    assert best["lr"] < 0.4

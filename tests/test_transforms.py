@@ -117,3 +117,66 @@ def test_unsqueeze_repeat_and_get_eye():
     assert out["x"].shape == (2, 3, 4)
     out = T.GetEye("eye", 5)({})
     np.testing.assert_array_equal(out["eye"], np.eye(5))
+
+
+def test_var_length_sequence_dense_normalization():
+    """VarLengthSequences + DenseNormalization + runtime-inferred SlateView
+    (reference transforms.py:722)."""
+    norm = NormalizationData(
+        dense_normalization_parameters={
+            0: NormalizationParameters(feature_type="CONTINUOUS", mean=1.0, stddev=2.0),
+        }
+    )
+    value = np.array([[3.0], [5.0], [7.0]], np.float32)
+    presence = np.ones((3, 1), bool)
+    data = {"seq": {7: (np.array([0, 2]), (value, presence))}}
+    out = T.VarLengthSequenceDenseNormalization(
+        keys=["seq"], sequence_id=7, normalization_data=norm
+    )(data)
+    slate = out["seq:7"]
+    assert slate.shape == (2, 2, 1)  # [B, max_len, D]
+    np.testing.assert_allclose(slate[0, :, 0], [(3 - 1) / 2, (5 - 1) / 2], atol=1e-5)
+    np.testing.assert_allclose(slate[1, 0, 0], (7 - 1) / 2, atol=1e-5)
+    # padded tail: presence 0 -> imputed 0
+    np.testing.assert_allclose(slate[1, 1, 0], 0.0, atol=1e-5)
+    np.testing.assert_array_equal(out["seq:7_item_presence"], [[1, 1], [1, 0]])
+
+
+def test_map_id_list_features():
+    """MapIDListFeatures applies the SparsePreprocessor; missing keys -> None
+    (reference transforms.py:347)."""
+    from reagent_tpu.core import types as rlt
+
+    fc = rlt.ModelFeatureConfig(
+        id_mapping_config={
+            "page": rlt.IdMappingConfig(
+                embedding_table_size=100, embedding_dim=4, hashing=False, max_length=3
+            )
+        },
+        id_list_feature_configs=[
+            rlt.IdListFeatureConfig(name="page_ids", feature_id=42, id_mapping_name="page")
+        ],
+        id_score_list_feature_configs=[
+            rlt.IdScoreListFeatureConfig(
+                name="page_scores", feature_id=43, id_mapping_name="page"
+            )
+        ],
+    )
+    t = T.MapIDListFeatures(
+        id_list_keys=["state_id_list"],
+        id_score_list_keys=["state_id_score_list"],
+        feature_config=fc,
+    )
+    data = {
+        "state_id_list": {42: [[7, 8], [9]]},
+        "state_id_score_list": {43: [[(7, 0.5)], [(9, 1.5)]]},
+    }
+    out = t(data)
+    assert "page_ids" in out["state_id_list"]
+    ids = np.asarray(out["state_id_list"]["page_ids"].ids)
+    assert ids.shape == (2, 3)
+    assert "page_scores" in out["state_id_score_list"]
+
+    # missing key maps to None
+    out2 = t({"state_id_list": {42: [[1]]}})
+    assert out2["state_id_score_list"] is None
