@@ -185,3 +185,17 @@ def test_trained_dqn_scored_natively_by_cpp(tmp_path):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=5)
+
+
+def test_cpp_unit_suites_pass():
+    """Run both native test binaries (serving_test + the per-operator suite);
+    mirrors the reference's RaspTest gtest binary in CI
+    (reference .circleci/config.yml:425-436)."""
+    build_dir = os.path.join(os.path.dirname(__file__), "..", "serving", "build")
+    for binary in ("serving_test", "operators_test"):
+        path = os.path.abspath(os.path.join(build_dir, binary))
+        if not os.path.exists(path):
+            pytest.skip(f"{binary} not built")
+        out = subprocess.run([path], capture_output=True, timeout=300)
+        assert out.returncode == 0, out.stdout.decode()[-2000:]
+        assert b"PASSED" in out.stdout
