@@ -46,13 +46,23 @@ class StackedLSTM(nn.Module):
 
 
 class MDNRNN(nn.Module):
-    """Reference: mdn_rnn.py:21."""
+    """Reference: mdn_rnn.py:21.
+
+    ``predict_delta=True`` parameterizes the gaussian means as
+    ``state + delta`` (the head regresses the state *change*). The output
+    contract is unchanged — ``mus`` are absolute next-state means — but for
+    near-identity dynamics (classic control at small dt) the residual target
+    is orders of magnitude smaller than the state scale, which sharpens
+    multi-step planner rollouts. The reference always regresses the absolute
+    next state (mdn_rnn.py:95-107).
+    """
 
     state_dim: int
     action_dim: int
     num_hiddens: int
     num_hidden_layers: int
     num_gaussians: int
+    predict_delta: bool = False
 
     @nn.compact
     def __call__(self, actions: Array, states: Array, initial_carry=None):
@@ -66,6 +76,8 @@ class MDNRNN(nn.Module):
         out = nn.Dense((2 * S + 1) * G + 2)(all_hidden)
         stride = G * S
         mus = out[..., :stride].reshape(T, B, G, S)
+        if self.predict_delta:
+            mus = mus + states[..., None, :]
         sigmas = jnp.exp(out[..., stride : 2 * stride]).reshape(T, B, G, S)
         logpi = jax.nn.log_softmax(
             out[..., 2 * stride : 2 * stride + G].reshape(T, B, G), axis=-1
@@ -96,6 +108,7 @@ class MemoryNetwork(nn.Module):
     num_hiddens: int
     num_hidden_layers: int
     num_gaussians: int
+    predict_delta: bool = False
 
     @nn.compact
     def __call__(self, state: rlt.FeatureData, action: rlt.FeatureData) -> rlt.MemoryNetworkOutput:
@@ -105,6 +118,7 @@ class MemoryNetwork(nn.Module):
             self.num_hiddens,
             self.num_hidden_layers,
             self.num_gaussians,
+            self.predict_delta,
         )(action.float_features, state.float_features)
         last_c, last_h = carries[-1]
         return rlt.MemoryNetworkOutput(
