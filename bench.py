@@ -1,15 +1,25 @@
-"""Benchmark: fused online DQN actor-learner throughput on TPU.
+"""Benchmark: flagship-workload throughput on TPU vs torch-CPU reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON metric line per workload and a FINAL combined line (the line
+the driver parses) of the form {"metric", "value", "unit", "vs_baseline",
+"extra_metrics": [...]}.
 
-Metric: env-steps/s where every step also performs one learner update
-(minibatch 512, net [128, 64]) — the hot loop of reference stack §3.2
-(reagent/gym/datasets/replay_buffer_dataset.py interleaving env.step, replay
-insert, sample, and training_step).
+Workloads:
+1. online_dqn — fused online actor-learner loop (env step + learner update
+   per step, minibatch 512, net [128, 64]); the reference hot loop of
+   reagent/gym/datasets/replay_buffer_dataset.py. Baseline: faithful
+   torch-CPU re-creation measured inline.
+2. offline_dqn — the flagship offline batch-training path
+   (reagent/workflow/training.py:214 hot loop): double-Q DQN train steps/s at
+   batch 4096, net 128->512->256->8. Baseline: identical math in torch on CPU
+   (all host cores).
+3. seq2slate — transformer ranking policy training steps/s (+ achieved
+   TFLOP/s, for MXU-utilization visibility): per-seq log-prob IPS loss,
+   B=256, src/tgt len 20, dim_model 256. Baseline: the reference's own
+   Seq2SlateTransformerNet (imported from /root/reference, torch CPU) driven
+   through the same loss and optimizer.
 
-Baseline: a faithful torch-CPU re-creation of the reference's per-step work
-(gymnasium CartPole env step + numpy replay insert/sample + torch
-forward/backward + soft update), measured inline.  vs_baseline = ours/theirs.
+vs_baseline = ours / theirs in every case.
 """
 
 import json
@@ -98,13 +108,16 @@ def bench_reference_torch_cpu(num_steps: int = 300) -> float:
     return num_steps / dt
 
 
-def bench_reagent_tpu(num_steps: int = 30000) -> float:
+def prep_online_dqn_tpu(num_steps: int = 30000):
     """Fused noise-tape actor-learner loop: steps/s (each step = env + train).
 
     Engine: gym/fused_dqn_loop.py — packed replay (one row write / two row
     gathers), pre-generated noise tape (no in-loop threefry), and the whole
     DQN update (3 forwards, analytic backward, Adam, polyak) as ONE Pallas
     kernel (ops/fused_dqn.py).  Semantics match the generic loop (tested).
+
+    Returns a zero-arg timing closure -> steps/s; all compiles happen here so
+    prep calls for different workloads can overlap in threads.
     """
     import jax
     import jax.numpy as jnp
@@ -137,43 +150,383 @@ def bench_reagent_tpu(num_steps: int = 30000) -> float:
         reward=jnp.float32(0), terminal=jnp.bool_(False),
     )
     rb_state = prefill_replay_buffer(env, rb, rb_state, r_fill, num_steps=1000)
-    int(rb_state.add_count)  # full sync before timing
+    int(rb_state.add_count)  # full sync
 
     cfg = FusedLoopConfig(num_steps=num_steps, minibatch_size=512, unroll=2)
 
-    # warmup compiles; then median of 3 timed runs.  NOTE: timing must fetch a
-    # VALUE — on the remote-TPU backend block_until_ready alone can return
-    # before the computation finishes (measured: 30k steps "in 3 ms").
+    # warmup compile.  NOTE: timing must fetch a VALUE — on the remote-TPU
+    # backend block_until_ready alone can return before the computation
+    # finishes (measured: 30k steps "in 3 ms").
     _, _, aux = run_fused_online_dqn(
         env, trainer, tstate, rb, rb_state, jax.random.PRNGKey(1), cfg
     )
     int(aux["episodes_completed"])
 
-    times = []
-    for k in (2, 3, 4):
-        t0 = time.perf_counter()
-        _, _, aux = run_fused_online_dqn(
-            env, trainer, tstate, rb, rb_state, jax.random.PRNGKey(k), cfg
+    def timed() -> float:
+        times = []
+        for k in (2, 3, 4):
+            t0 = time.perf_counter()
+            _, _, aux = run_fused_online_dqn(
+                env, trainer, tstate, rb, rb_state, jax.random.PRNGKey(k), cfg
+            )
+            int(aux["episodes_completed"])  # device->host fetch = true barrier
+            times.append(time.perf_counter() - t0)
+        return num_steps / sorted(times)[1]
+
+    return timed
+
+
+def bench_reagent_tpu(num_steps: int = 30000) -> float:
+    return prep_online_dqn_tpu(num_steps)()
+
+
+# --------------------------------------------------------------------------
+# Workload 2: offline batch training (flagship path, workflow/training.py:214)
+# --------------------------------------------------------------------------
+
+_OFF_S, _OFF_A, _OFF_B = 128, 8, 4096
+_OFF_SIZES = [512, 256]
+
+
+def prep_offline_dqn_tpu(num_steps: int = 60):
+    """Double-Q DQN train steps/s at batch 4096 on device (prep -> closure)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training.dqn_trainer import DQNTrainer
+
+    S, A, B = _OFF_S, _OFF_A, _OFF_B
+    q_net = FullyConnectedDQN(
+        state_dim=S, action_dim=A, sizes=_OFF_SIZES,
+        activations=["leaky_relu"] * len(_OFF_SIZES),
+    )
+    trainer = DQNTrainer(
+        q_network=q_net,
+        rl=RLParameters(gamma=0.99, target_update_rate=0.1),
+        optimizer={"Adam": {"lr": 1e-3}},
+    )
+    rng = jax.random.PRNGKey(0)
+    ts = trainer.init(rng, jnp.zeros((1, S)))
+    # batch built host-side (numpy) — device_put only, no eager-op compiles
+    g = np.random.default_rng(0)
+    act = np.eye(A, dtype=np.float32)[g.integers(0, A, B)]
+    batch = rlt.DiscreteDqnInput(
+        state=rlt.FeatureData(
+            float_features=jnp.asarray(g.normal(size=(B, S)).astype(np.float32))
+        ),
+        next_state=rlt.FeatureData(
+            float_features=jnp.asarray(g.normal(size=(B, S)).astype(np.float32))
+        ),
+        action=jnp.asarray(act),
+        next_action=jnp.asarray(np.eye(A, dtype=np.float32)[g.integers(0, A, B)]),
+        reward=jnp.asarray(g.normal(size=(B, 1)).astype(np.float32)),
+        time_diff=jnp.asarray(np.ones((B, 1), np.float32)),
+        step=jnp.asarray(np.ones((B, 1), np.int32)),
+        not_terminal=jnp.asarray(np.ones((B, 1), np.float32)),
+        possible_actions_mask=jnp.asarray(np.ones((B, A), np.float32)),
+        possible_next_actions_mask=jnp.asarray(np.ones((B, A), np.float32)),
+    )
+    ts, m = trainer.train_step(ts, batch)  # compile
+    float(m["td_loss"])  # value fetch = true barrier on the remote backend
+
+    def timed() -> float:
+        nonlocal ts, m
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(num_steps):
+                ts, m = trainer.train_step(ts, batch)
+            float(m["td_loss"])
+            times.append(time.perf_counter() - t0)
+        return num_steps / sorted(times)[1]
+
+    return timed
+
+
+def bench_offline_dqn_tpu(num_steps: int = 60) -> float:
+    return prep_offline_dqn_tpu(num_steps)()
+
+
+def bench_offline_dqn_torch_cpu(num_steps: int = 25) -> float:
+    """Identical double-Q update math in torch on all host cores."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    S, A, B = _OFF_S, _OFF_A, _OFF_B
+
+    def net():
+        return nn.Sequential(
+            nn.Linear(S, _OFF_SIZES[0]), nn.LeakyReLU(),
+            nn.Linear(_OFF_SIZES[0], _OFF_SIZES[1]), nn.LeakyReLU(),
+            nn.Linear(_OFF_SIZES[1], A),
         )
-        int(aux["episodes_completed"])  # device->host fetch = true barrier
-        times.append(time.perf_counter() - t0)
-    return num_steps / sorted(times)[1]
+
+    q, q_target = net(), net()
+    q_target.load_state_dict(q.state_dict())
+    opt = torch.optim.Adam(q.parameters(), lr=1e-3)
+    g = np.random.default_rng(0)
+    obs = torch.from_numpy(g.normal(size=(B, S)).astype(np.float32))
+    nobs = torch.from_numpy(g.normal(size=(B, S)).astype(np.float32))
+    act = torch.from_numpy(g.integers(0, A, B))
+    rew = torch.from_numpy(g.normal(size=(B,)).astype(np.float32))
+    nd = torch.ones(B)
+
+    def step():
+        with torch.no_grad():
+            nq = q(nobs)
+            nqt = q_target(nobs)
+            sel = nq.argmax(1, keepdim=True)
+            target = rew + 0.99 * nd * nqt.gather(1, sel).squeeze(1)
+        pred = q(obs).gather(1, act.unsqueeze(1)).squeeze(1)
+        loss = torch.nn.functional.mse_loss(pred, target)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            for tp, sp in zip(q_target.parameters(), q.parameters()):
+                tp.mul_(0.9).add_(0.1 * sp)
+
+    step()  # warm
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        step()
+    return num_steps / (time.perf_counter() - t0)
+
+
+# --------------------------------------------------------------------------
+# Workload 3: seq2slate transformer training (reagent/models/seq2slate.py:382)
+# --------------------------------------------------------------------------
+
+_S2S = dict(state_dim=128, candidate_dim=128, num_stacked_layers=2,
+            num_heads=8, dim_model=256, dim_feedforward=512,
+            max_src_seq_len=20, max_tgt_seq_len=20)
+_S2S_B = 256
+
+
+def _s2s_batch_arrays(seed: int = 0):
+    """Shared numpy batch so both sides train on the same data."""
+    import numpy as np
+
+    g = np.random.default_rng(seed)
+    B, S, T = _S2S_B, _S2S["max_src_seq_len"], _S2S["max_tgt_seq_len"]
+    SD, CD = _S2S["state_dim"], _S2S["candidate_dim"]
+    state = g.normal(size=(B, SD)).astype(np.float32)
+    src = g.normal(size=(B, S, CD)).astype(np.float32)
+    # logged slate = a random permutation of the first T candidates (+2 offset)
+    tgt_out = np.stack([g.permutation(S)[:T] + 2 for _ in range(B)]).astype(np.int64)
+    tgt_in = np.concatenate([np.ones((B, 1), np.int64), tgt_out[:, :-1]], axis=1)
+    cand = np.concatenate([np.zeros((B, 2, CD), np.float32), src], axis=1)
+    tgt_in_seq = np.take_along_axis(cand, tgt_in[:, :, None], axis=1)
+    probs = np.full((B, 1), 1e-3, np.float32)
+    reward = g.uniform(0.0, 1.0, size=(B, 1)).astype(np.float32)
+    return state, src, tgt_in, tgt_out, tgt_in_seq, probs, reward
+
+
+def prep_seq2slate_tpu(num_steps: int = 40):
+    """-> closure -> (train steps/s, achieved TFLOP/s or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.core.parameters import IPSClamp, IPSClampMethod, Seq2SlateParameters
+    from reagent_tpu.models.seq2slate import Seq2SlateTransformerModel
+    from reagent_tpu.training.ranking import Seq2SlateTrainer
+
+    state, src, tgt_in, tgt_out, tgt_in_seq, probs, reward = _s2s_batch_arrays()
+    batch = rlt.PreprocessedRankingInput(
+        state=rlt.FeatureData(float_features=jnp.asarray(state)),
+        src_seq=rlt.FeatureData(float_features=jnp.asarray(src)),
+        tgt_in_seq=rlt.FeatureData(float_features=jnp.asarray(tgt_in_seq)),
+        tgt_in_idx=jnp.asarray(tgt_in),
+        tgt_out_idx=jnp.asarray(tgt_out),
+        tgt_out_probs=jnp.asarray(probs),
+        slate_reward=jnp.asarray(reward),
+    )
+    from reagent_tpu.models.seq2slate import Seq2SlateOutputArch
+
+    model = Seq2SlateTransformerModel(
+        **_S2S, output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE
+    )
+    trainer = Seq2SlateTrainer(
+        model,
+        params=Seq2SlateParameters(
+            on_policy=False, ips_clamp=IPSClamp(IPSClampMethod.UNIVERSAL, 10.0)
+        ),
+        policy_optimizer={"Adam": {"lr": 1e-4}},
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), batch)
+
+    # AOT-compile once; reuse the executable for cost analysis AND timing
+    step_fn = jax.jit(lambda s, b: trainer.train_step(s, b))
+    compiled = step_fn.lower(ts, batch).compile()
+    flops_per_step = None
+    try:
+        ca = compiled.cost_analysis()
+        if ca:
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    ts, m = compiled(ts, batch)  # warm
+    key = next(iter(m))
+    float(jnp.asarray(m[key]).reshape(-1)[0])  # value fetch = true barrier
+
+    def timed():
+        nonlocal ts, m
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(num_steps):
+                ts, m = compiled(ts, batch)
+            float(jnp.asarray(m[key]).reshape(-1)[0])
+            times.append(time.perf_counter() - t0)
+        sps = num_steps / sorted(times)[1]
+        tflops = (flops_per_step * sps / 1e12) if flops_per_step else None
+        return sps, tflops
+
+    return timed
+
+
+def bench_seq2slate_tpu(num_steps: int = 40):
+    return prep_seq2slate_tpu(num_steps)()
+
+
+def bench_seq2slate_reference_cpu(num_steps: int = 8):
+    """The reference's own Seq2SlateTransformerNet, same data/loss/optimizer.
+
+    Returns steps/s, or None if the reference tree isn't importable.
+    """
+    try:
+        from reagent_tpu.utils.reference_compat import add_reference_to_path
+
+        if not add_reference_to_path():
+            return None
+        import torch
+
+        from reagent.model_utils.seq2slate_utils import (
+            Seq2SlateMode,
+            Seq2SlateOutputArch,
+        )
+        from reagent.models.seq2slate import Seq2SlateTransformerModel as RefModel
+    except Exception:
+        return None
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    state, src, tgt_in, tgt_out, tgt_in_seq, probs, reward = _s2s_batch_arrays()
+    # the inner nn.Module directly (the Seq2SlateTransformerNet dataclass
+    # wrapper needs pydantic's post-init hook, absent in this image)
+    net = RefModel(
+        state_dim=_S2S["state_dim"],
+        candidate_dim=_S2S["candidate_dim"],
+        num_stacked_layers=_S2S["num_stacked_layers"],
+        num_heads=_S2S["num_heads"],
+        dim_model=_S2S["dim_model"],
+        dim_feedforward=_S2S["dim_feedforward"],
+        max_src_seq_len=_S2S["max_src_seq_len"],
+        max_tgt_seq_len=_S2S["max_tgt_seq_len"],
+        output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE,
+        temperature=1.0,
+    )
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    t_state = torch.from_numpy(state)
+    t_src = torch.from_numpy(src)
+    t_tgt_in_seq = torch.from_numpy(tgt_in_seq)
+    t_tgt_in = torch.from_numpy(tgt_in)
+    t_tgt_out = torch.from_numpy(tgt_out)
+    t_reward = torch.from_numpy(reward)
+    t_probs = torch.from_numpy(probs)
+
+    def step():
+        res = net(
+            mode=Seq2SlateMode.PER_SEQ_LOG_PROB_MODE.value,
+            state=t_state, src_seq=t_src, tgt_in_seq=t_tgt_in_seq,
+            tgt_in_idx=t_tgt_in, tgt_out_idx=t_tgt_out,
+        )
+        impt = torch.exp(res.per_seq_log_probs) / t_probs.clamp_min(1e-35)
+        loss = (-impt.clamp(max=10.0) * t_reward).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warm
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        step()
+    return num_steps / (time.perf_counter() - t0)
 
 
 def main():
-    ours = bench_reagent_tpu()
-    try:
-        # best of 3: the torch loop is sensitive to transient host load
-        baseline = max(bench_reference_torch_cpu(120) for _ in range(3))
-    except Exception:
-        baseline = None
-    result = {
-        "metric": "online_dqn_env_steps_plus_updates_per_s",
-        "value": round(ours, 1),
-        "unit": "steps/s (env step + learner update each)",
-        "vs_baseline": round(ours / baseline, 2) if baseline else None,
-    }
-    print(json.dumps(result))
+    # Phase A: compile the three TPU workloads concurrently (remote compile
+    # requests overlap; execution is not timed here) while the torch-CPU
+    # baselines run on the host.  Phase B: time each workload serially so
+    # timed sections never share the device.
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        f_online = ex.submit(prep_online_dqn_tpu)
+        f_off = ex.submit(prep_offline_dqn_tpu)
+        f_s2s = ex.submit(prep_seq2slate_tpu)
+
+        def baselines():
+            out = {}
+            try:
+                # best of 3: the torch loop is sensitive to transient host load
+                out["online"] = max(bench_reference_torch_cpu(120) for _ in range(3))
+            except Exception:
+                out["online"] = None
+            try:
+                out["offline"] = max(bench_offline_dqn_torch_cpu() for _ in range(2))
+            except Exception:
+                out["offline"] = None
+            out["s2s"] = bench_seq2slate_reference_cpu()
+            return out
+
+        f_base = ex.submit(baselines)
+        timed_online, timed_off, timed_s2s = (
+            f_online.result(), f_off.result(), f_s2s.result()
+        )
+        base = f_base.result()
+
+    ours_online = timed_online()
+    ours_off = timed_off()
+    ours_s2s, tflops = timed_s2s()
+
+    metrics = [
+        {
+            "metric": "online_dqn_env_steps_plus_updates_per_s",
+            "value": round(ours_online, 1),
+            "unit": "steps/s (env step + learner update each)",
+            "vs_baseline": round(ours_online / base["online"], 2)
+            if base["online"] else None,
+        },
+        {
+            "metric": "offline_dqn_train_steps_per_s_batch4096",
+            "value": round(ours_off, 1),
+            "unit": "train steps/s (double-Q, batch 4096, net 128-512-256-8)",
+            "vs_baseline": round(ours_off / base["offline"], 2)
+            if base["offline"] else None,
+        },
+        {
+            "metric": "seq2slate_train_steps_per_s",
+            "value": round(ours_s2s, 1),
+            "unit": "train steps/s (B=256, len 20, dim 256; IPS per-seq log-prob)",
+            "vs_baseline": round(ours_s2s / base["s2s"], 2) if base["s2s"] else None,
+            "achieved_tflops": round(tflops, 3) if tflops else None,
+        },
+    ]
+
+    for mtr in metrics:
+        print(json.dumps(mtr))
+    head = metrics[0]
+    print(json.dumps({**head, "extra_metrics": metrics[1:]}))
 
 
 if __name__ == "__main__":
