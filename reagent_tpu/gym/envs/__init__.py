@@ -16,6 +16,7 @@ from reagent_tpu.gym.envs.extra import (
 )
 from reagent_tpu.gym.envs.extra import StringGameV1
 from reagent_tpu.gym.envs.pomdp import PocManEnv, ToyVMEnv
+from reagent_tpu.gym.envs.recsim import RecSimInterestEvolution
 from reagent_tpu.gym.envs.oracle_pvm import OraclePVM
 from reagent_tpu.gym.envs.state_embed import StateEmbedEnv
 from reagent_tpu.gym.envs.functionality import PossibleActionsMaskTester
@@ -27,7 +28,8 @@ from reagent_tpu.core.registry import ENVS as _ENVS
 # gym_env.py.  build_env({"CartPole": {}}) mirrors Env__Union.value.
 for _env_cls in (
     CartPole, Pendulum, LinDyna, OpenGridworld, StringGame, StringGameV1,
-    ChangingArms, RecSimSlate, PocManEnv, ToyVMEnv, OraclePVM, StateEmbedEnv,
+    ChangingArms, RecSimSlate, RecSimInterestEvolution, PocManEnv, ToyVMEnv,
+    OraclePVM, StateEmbedEnv,
     PossibleActionsMaskTester,
 ):
     if _env_cls.__name__ not in _ENVS.members():
@@ -52,6 +54,7 @@ __all__ = [
     "StringGame",
     "ChangingArms",
     "RecSimSlate",
+    "RecSimInterestEvolution",
     "PocManEnv",
     "ToyVMEnv",
     "OraclePVM",

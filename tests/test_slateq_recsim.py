@@ -1,10 +1,24 @@
-"""SlateQ on the RecSim-style slate env: learned slates beat random.
+"""SlateQ on the interest-evolution RecSim env: absolute bar 154.
 
-Mirrors reference slate_q_recsim_online.yaml intent (bar 154 there with the
-full RecSim simulator; our simplified interest-evolution env has a different
-reward scale, so the bar is: learned policy beats the random policy by a
-margin).
+Covers the five reference config variants
+(gym/tests/configs/recsim/slate_q_recsim_online*.yaml — all with
+passing_score_bar 154, slate 3 of 10 candidates, 20 eval episodes):
+
+  * base              — single-selection, SARSA next-slate (maxq False)
+  * maxq_topk         — rl.maxq_learning=True (top-k of target item-Qs)
+  * multi_selection   — single_selection=False, norm_by_next_slate_size
+  * multi_avg_curr    — single_selection=False, norm_by_current_slate_size
+  * with_time_scale   — discount_time_scale=2
+
+Env: reagent_tpu/gym/envs/recsim.py — jittable interest-evolution dynamics
+(see its docstring for the recsim-documented vs calibrated constants).
+Training is iterated batch RL: collect with eps-greedy top-k item-Q slates,
+train, repeat with decaying eps — the compute-equivalent of the reference's
+online train_every_ts=1 protocol, restructured so collection is one fused
+``vmap(episodes) . scan(steps)`` program instead of a host loop.
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -13,116 +27,256 @@ import pytest
 
 from reagent_tpu.core import types as rlt
 from reagent_tpu.core.parameters import RLParameters
-from reagent_tpu.gym.envs.extra import RecSimSlate
+from reagent_tpu.gym.envs.recsim import RecSimInterestEvolution
 from reagent_tpu.models import FullyConnectedCritic
-from reagent_tpu.training.slate_q_trainer import SlateQTrainer
+from reagent_tpu.training.slate_q_trainer import (
+    NextSlateValueNormMethod,
+    SlateQTrainer,
+)
 
-NUM_CAND, SLATE, TOPICS = 8, 2, 4
-
-
-def _collect(env, policy_fn, episodes, rng):
-    """Roll out; emit SlateQInput rows (obs docs as candidate_docs)."""
-    rows = []
-    returns = []
-    for ep in range(episodes):
-        rng, r0 = jax.random.split(rng)
-        state, obs = env.reset(r0)
-        total = 0.0
-        prev = None
-        for t in range(env.max_steps):
-            rng, r_act, r_step = jax.random.split(rng, 3)
-            slate = policy_fn(obs, r_act)
-            nstate, nobs, reward, done = env.step(state, slate, r_step)
-            rows.append((obs, slate, reward, nobs, done, int(nstate.last_clicked)))
-            total += float(reward)
-            state, obs = nstate, nobs
-            if bool(done):
-                break
-        returns.append(total)
-    return rows, float(np.mean(returns)), rng
+NUM_CAND, SLATE, TOPICS = 10, 3, 20
+PASSING_SCORE_BAR = 154.0  # reference configs' bar
+DOC_DIM = TOPICS + 1  # topic one-hot ++ quality
 
 
-def _batchify(rows):
-    def docs(obs_list):
-        # doc features = topics ++ quality (the Q-net must see quality)
-        feats = jnp.concatenate(
-            [
-                jnp.stack([o["doc_features"] for o in obs_list]),
-                jnp.stack([o["doc_quality"] for o in obs_list])[..., None],
-            ],
-            axis=2,
+def _make_q_net():
+    # reference configs: FullyConnected [64, 64] leaky_relu
+    return FullyConnectedCritic(
+        state_dim=TOPICS, action_dim=DOC_DIM, sizes=[64, 64],
+        activations=["leaky_relu", "leaky_relu"],
+    )
+
+
+def _doc_feats(obs):
+    """[..., C, TOPICS+1]: topic one-hot ++ quality (the net sees quality)."""
+    return jnp.concatenate(
+        [obs["doc_features"], obs["doc_quality"][..., None]], axis=-1
+    )
+
+
+def _make_collector(env, q_net):
+    """Fused rollout: [E, T] step records with eps-greedy top-k item-Q slates."""
+
+    def policy(params, obs, r, eps):
+        feats = _doc_feats(obs)  # [C, D]
+        user = jnp.tile(obs["user"][None], (NUM_CAND, 1))
+        q = q_net.apply(params, user, feats).reshape(-1)
+        # reference slate_q_scorer: item score = softmax(doc value) * Q,
+        # doc value = dot(user, doc) via the ValueWrapper
+        value = obs["doc_features"] @ obs["user"]
+        if not env.single_selection:
+            value = (value + 1.0) / 2.0
+        score = jax.nn.softmax(value) * q
+        greedy = jax.lax.top_k(score, SLATE)[1]
+        rand = jax.random.choice(r, NUM_CAND, (SLATE,), replace=False)
+        return jnp.where(jax.random.uniform(jax.random.fold_in(r, 1)) < eps,
+                         rand, greedy).astype(jnp.int32)
+
+    def episode(params, eps, r):
+        st, obs = env.reset(r)
+
+        def step(carry, rr):
+            st, obs, done = carry
+            rr_a, rr_s = jax.random.split(rr)
+            slate = policy(params, obs, rr_a, eps)
+            nst, nobs, rew, ndone = env.step(st, slate, rr_s)
+            rec = dict(
+                user=obs["user"], feats=_doc_feats(obs),
+                topics_dot=obs["doc_features"] @ obs["user"],
+                next_user=nobs["user"], next_feats=_doc_feats(nobs),
+                next_topics_dot=nobs["doc_features"] @ nobs["user"],
+                slate=slate,
+                pos_watch=nst.last_position_watch,
+                clicked_pos=nst.last_clicked,
+                reward=jnp.where(done, 0.0, rew),
+                not_terminal=jnp.logical_not(ndone).astype(jnp.float32),
+                valid=jnp.logical_not(done).astype(jnp.float32),
+            )
+            return (nst, nobs, jnp.logical_or(done, ndone)), rec
+
+        _, recs = jax.lax.scan(
+            step, (st, obs, jnp.asarray(False)),
+            jax.random.split(r, env.max_steps),
         )
+        return recs
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def collect(params, eps, n_episodes, rng):
+        return jax.vmap(episode, in_axes=(None, None, 0))(
+            params, eps, jax.random.split(rng, n_episodes)
+        )
+
+    return collect
+
+
+def _batchify(env, recs):
+    """[E, T] records -> flat SlateQInput over valid steps (host-side)."""
+    E, T = recs["reward"].shape
+    flat = {k: np.asarray(v).reshape((E * T,) + v.shape[2:]) for k, v in recs.items()}
+    # next_action = the slate chosen at t+1 (zeros at episode end — masked by
+    # not_terminal in the trainer)
+    nxt = np.zeros_like(np.asarray(recs["slate"]))
+    nxt[:, :-1] = np.asarray(recs["slate"])[:, 1:]
+    flat["next_action"] = nxt.reshape(E * T, SLATE)
+    keep = flat["valid"] > 0.5
+    flat = {k: v[keep] for k, v in flat.items()}
+    B = int(keep.sum())
+
+    if env.single_selection:
+        clicked = flat["clicked_pos"]
+        mask = np.zeros((B, SLATE), bool)
+        rows = np.nonzero(clicked >= 0)[0]
+        mask[rows, clicked[rows]] = True
+        reward = np.asarray(flat["pos_watch"], np.float32)
+        value = flat["topics_dot"]
+        next_value = flat["next_topics_dot"]
+    else:
+        mask = np.ones((B, SLATE), bool)
+        reward = np.asarray(flat["pos_watch"], np.float32)
+        value = (flat["topics_dot"] + 1.0) / 2.0
+        next_value = (flat["next_topics_dot"] + 1.0) / 2.0
+
+    def docs(feats, val):
         return rlt.DocList(
-            float_features=feats,
-            mask=jnp.ones((len(obs_list), NUM_CAND)),
-            value=jnp.stack([o["doc_quality"] for o in obs_list]),
+            float_features=jnp.asarray(feats),
+            mask=jnp.ones((B, NUM_CAND)),
+            value=jnp.asarray(val),
         )
 
-    obs = [r[0] for r in rows]
-    nobs = [r[3] for r in rows]
-    B = len(rows)
-    reward = jnp.asarray([float(r[2]) for r in rows]).reshape(B, 1)
-    # single-selection credit: reward lands on the clicked position
-    clicked = np.asarray([r[5] for r in rows])
-    pos_onehot = np.zeros((B, SLATE), np.float32)
-    mask = np.zeros((B, SLATE), bool)
-    for i, c in enumerate(clicked):
-        if c >= 0:
-            pos_onehot[i, c] = 1.0
-            mask[i, c] = True
     return rlt.SlateQInput(
         state=rlt.FeatureData(
-            float_features=jnp.stack([o["user"] for o in obs]),
-            candidate_docs=docs(obs),
+            float_features=jnp.asarray(flat["user"]),
+            candidate_docs=docs(flat["feats"], value),
         ),
         next_state=rlt.FeatureData(
-            float_features=jnp.stack([o["user"] for o in nobs]),
-            candidate_docs=docs(nobs),
+            float_features=jnp.asarray(flat["next_user"]),
+            candidate_docs=docs(flat["next_feats"], next_value),
         ),
-        action=jnp.stack([r[1] for r in rows]),
-        next_action=jnp.zeros((B, SLATE), jnp.int32),
-        reward=jnp.asarray(pos_onehot) * reward,
+        action=jnp.asarray(flat["slate"], jnp.int32),
+        next_action=jnp.asarray(flat["next_action"], jnp.int32),
+        reward=jnp.asarray(reward),
         reward_mask=jnp.asarray(mask),
         time_diff=jnp.ones((B, 1)),
         step=None,
-        not_terminal=jnp.asarray([[0.0 if r[4] else 1.0] for r in rows]),
+        not_terminal=jnp.asarray(flat["not_terminal"]).reshape(B, 1),
     )
+
+
+def _subsample(batch, rng, mb):
+    B = batch.reward.shape[0]
+    idx = rng.integers(0, B, mb)
+    return jax.tree_util.tree_map(
+        lambda x: x[idx] if hasattr(x, "shape") and x.shape and x.shape[0] == B else x,
+        batch,
+    )
+
+
+def _train_and_eval(trainer_kwargs, single_selection, seed=0):
+    env = RecSimInterestEvolution(
+        num_candidates=NUM_CAND, slate_size=SLATE,
+        single_selection=single_selection,
+    )
+    q_net = _make_q_net()
+    trainer = SlateQTrainer(
+        q_network=q_net, slate_size=SLATE,
+        optimizer={"Adam": {"lr": 1e-3}},
+        single_selection=single_selection,
+        **trainer_kwargs,
+    )
+    ts = trainer.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, TOPICS)), jnp.zeros((1, DOC_DIM))
+    )
+    rng = jax.random.PRNGKey(seed + 100)
+    host_rng = np.random.default_rng(seed)
+    collect = _make_collector(env, q_net)
+
+    batches = []
+    for it, eps in enumerate((1.0, 0.5, 0.2, 0.1)):
+        rng, r_c = jax.random.split(rng)
+        recs = collect(ts.q_params, jnp.asarray(eps), 150, r_c)
+        batches.append(_batchify(env, recs))
+        # train on everything collected so far
+        for _ in range(600):
+            b = batches[host_rng.integers(0, len(batches))]
+            ts, m = trainer.train_step(ts, _subsample(b, host_rng, 512))
+
+    # eval greedy, 20 episodes (reference num_eval_episodes)
+    rng, r_e = jax.random.split(rng)
+    recs = collect(ts.q_params, jnp.asarray(0.0), 20, r_e)
+    ep_returns = np.asarray(recs["reward"]).sum(axis=1)
+    return float(ep_returns.mean())
+
+
+VARIANTS = [
+    # (name, single_selection, trainer kwargs) — mirrors the 5 reference yamls
+    ("base", True, {}),
+    ("maxq_topk", True,
+     {"rl": RLParameters(gamma=0.9, target_update_rate=0.1, maxq_learning=True)}),
+    ("multi_selection", False,
+     {"next_slate_value_norm_method":
+      NextSlateValueNormMethod.NORM_BY_NEXT_SLATE_SIZE}),
+    ("multi_selection_avg_curr", False,
+     {"next_slate_value_norm_method":
+      NextSlateValueNormMethod.NORM_BY_CURRENT_SLATE_SIZE}),
+    ("with_time_scale", True, {"discount_time_scale": 2.0}),
+]
 
 
 @pytest.mark.slow
-def test_slateq_learns_on_recsim():
-    env = RecSimSlate(num_candidates=NUM_CAND, slate_size=SLATE, num_topics=TOPICS, max_steps=20)
-    rng = jax.random.PRNGKey(0)
+@pytest.mark.parametrize("name,single,kwargs", VARIANTS)
+def test_slateq_recsim_reaches_bar(name, single, kwargs):
+    kwargs = dict(kwargs)
+    if "rl" not in kwargs:
+        kwargs["rl"] = RLParameters(gamma=0.9, target_update_rate=0.1,
+                                    maxq_learning=name == "maxq_topk")
+    score = _train_and_eval(kwargs, single)
+    print(f"SlateQ[{name}]: eval mean return {score:.1f} (bar {PASSING_SCORE_BAR})")
+    assert score >= PASSING_SCORE_BAR, f"{name}: {score} < {PASSING_SCORE_BAR}"
 
-    def random_policy(obs, r):
-        return jax.random.choice(r, NUM_CAND, (SLATE,), replace=False)
 
-    rows, random_return, rng = _collect(env, random_policy, 60, rng)
-    batch = _batchify(rows)
+def test_recsim_env_dynamics():
+    """Fast sanity: budget drains, clicks credit positions, docs resample."""
+    env = RecSimInterestEvolution()
+    st, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["doc_features"].shape == (NUM_CAND, TOPICS)
+    topics0 = np.asarray(st.doc_topics)
+    total = 0.0
+    for i in range(10):
+        st, obs, r, d = env.step(
+            st, jnp.arange(SLATE), jax.random.fold_in(jax.random.PRNGKey(1), i)
+        )
+        total += float(r)
+        if bool(d):
+            break
+    assert float(st.budget) < 250.0
+    assert not np.array_equal(topics0, np.asarray(st.doc_topics))
+    if total > 0:
+        assert float(jnp.sum(st.last_position_watch)) >= 0.0
 
-    q_net = FullyConnectedCritic(
-        state_dim=TOPICS, action_dim=TOPICS + 1, sizes=[64], activations=["relu"]
+
+def test_recsim_random_below_bar():
+    """The absolute bar means something: random slates stay well under it."""
+    env = RecSimInterestEvolution()
+
+    def episode(r):
+        st, obs = env.reset(r)
+
+        def step(carry, rr):
+            st, obs, done, total = carry
+            rr_a, rr_s = jax.random.split(rr)
+            slate = jax.random.choice(rr_a, NUM_CAND, (SLATE,), replace=False)
+            nst, nobs, rew, nd = env.step(st, slate, rr_s)
+            total = total + jnp.where(done, 0.0, rew)
+            return (nst, nobs, jnp.logical_or(done, nd), total), None
+
+        (_, _, _, total), _ = jax.lax.scan(
+            step, (st, obs, jnp.asarray(False), 0.0),
+            jax.random.split(r, env.max_steps),
+        )
+        return total
+
+    totals = jax.jit(jax.vmap(episode))(
+        jax.random.split(jax.random.PRNGKey(0), 100)
     )
-    trainer = SlateQTrainer(
-        q_network=q_net, slate_size=SLATE,
-        rl=RLParameters(gamma=0.9, target_update_rate=0.1, maxq_learning=True),
-        optimizer={"Adam": {"lr": 3e-3}},
-    )
-    ts = trainer.init(jax.random.PRNGKey(1), jnp.zeros((1, TOPICS)), jnp.zeros((1, TOPICS + 1)))
-    for _ in range(300):
-        ts, m = trainer.train_step(ts, batch)
-
-    def greedy_policy(obs, r):
-        docs = jnp.concatenate(
-            [jnp.asarray(obs["doc_features"]), jnp.asarray(obs["doc_quality"])[:, None]],
-            axis=1,
-        )  # [C, T+1]
-        user = jnp.asarray(obs["user"])[None]
-        q = trainer.q_network.apply(
-            ts.q_params, jnp.tile(user, (NUM_CAND, 1)), docs
-        ).reshape(-1)
-        return jax.lax.top_k(q, SLATE)[1]
-
-    _, learned_return, _ = _collect(env, greedy_policy, 60, jax.random.PRNGKey(7))
-    print(f"SlateQ: random={random_return:.2f} learned={learned_return:.2f}")
-    assert learned_return > random_return * 1.1
+    mean = float(jnp.mean(totals))
+    assert mean < PASSING_SCORE_BAR * 0.95, mean
