@@ -23,7 +23,14 @@ from reagent_tpu.training.parametric_dqn_trainer import (
 )
 from reagent_tpu.training.discrete_crr_trainer import CRRTrainerState, DiscreteCRRTrainer
 
+from reagent_tpu.training.scan_loop import (
+    make_sampled_train_fn,
+    make_scanned_train_fn,
+)
+
 __all__ = [
+    "make_sampled_train_fn",
+    "make_scanned_train_fn",
     "DQNTrainer",
     "DQNTrainerState",
     "SACTrainer",

@@ -1,0 +1,94 @@
+"""Device-resident multi-step training loops (``lax.scan`` over train steps).
+
+The reference's offline hot loop streams one minibatch per ``training_step``
+through a host dataloader (reagent/workflow/training.py:214 via Lightning +
+petastorm, workflow/utils.py:64-118).  On TPU that per-step host round trip
+is the bottleneck: each dispatch costs ~1 ms over the runtime even when the
+step itself takes 100 us.  The TPU-native shape is to keep the (preprocessed)
+training table in device memory and run K train steps as ONE compiled
+program — XLA pipelines the minibatch gathers with the update math and the
+host is touched once per K steps.
+
+Works with any trainer exposing the standard jitted
+``train_step(state, batch) -> (state, metrics)`` (every trainer in
+reagent_tpu/training does).  Semantics are exactly K sequential
+``train_step`` calls — asserted by tests/test_scan_loop.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _raw_train_step(trainer: Any) -> Callable:
+    """The undecorated train_step (so we don't nest jit dispatch in the scan)."""
+    raw = getattr(type(trainer).train_step, "__wrapped__", None)
+    if raw is None:
+        raw = type(trainer).train_step
+    return raw
+
+
+def make_scanned_train_fn(trainer: Any) -> Callable:
+    """``(state, batches) -> (state, metrics)`` running one train step per
+    leading-axis slice of ``batches`` in a single compiled scan.
+
+    ``batches`` is any batch pytree whose array leaves carry a leading
+    ``[K, ...]`` axis (K stacked minibatches).  ``metrics`` leaves are
+    ``[K]``-stacked.
+    """
+    raw_step = _raw_train_step(trainer)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state, batches):
+        def body(s, b):
+            return raw_step(trainer, s, b)
+
+        return jax.lax.scan(body, state, batches)
+
+    return run
+
+
+def make_sampled_train_fn(
+    trainer: Any,
+    dataset: Any,
+    minibatch_size: int,
+    num_steps: int,
+    num_rows: Optional[int] = None,
+) -> Callable:
+    """``(state, rng) -> (state, metrics)``: ``num_steps`` train steps, each
+    on a uniformly sampled minibatch gathered from the device-resident
+    ``dataset`` (a batch pytree with leading axis ``[N, ...]``), all inside
+    one compiled program.
+
+    This is the TPU equivalent of the reference's
+    ``OfflineReplayBufferDataset`` epoch (gym/datasets/
+    replay_buffer_dataset.py:150-206): sample-with-replacement minibatches
+    over a fixed corpus.
+    """
+    raw_step = _raw_train_step(trainer)
+    if num_rows is None:
+        num_rows = jax.tree_util.tree_leaves(dataset)[0].shape[0]
+
+    def gather(idx):
+        return jax.tree_util.tree_map(
+            lambda x: x[idx]
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == num_rows
+            else x,
+            dataset,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state, rng):
+        def body(s, r):
+            idx = jax.random.randint(r, (minibatch_size,), 0, num_rows)
+            return raw_step(trainer, s, gather(idx))
+
+        return jax.lax.scan(body, state, jax.random.split(rng, num_steps))
+
+    return run
