@@ -480,36 +480,33 @@ def bench_seq2slate_reference_cpu(num_steps: int = 8):
 
 
 def main():
-    # Phase A: compile the three TPU workloads concurrently (remote compile
-    # requests overlap; execution is not timed here) while the torch-CPU
-    # baselines run on the host.  Phase B: time each workload serially so
-    # timed sections never share the device.
+    # Phase A: run the torch-CPU baselines serially on an otherwise idle host
+    # (concurrent work would depress them and inflate vs_baseline).
+    # Phase B: compile the three TPU workloads concurrently (remote compile
+    # requests overlap; execution is not timed here).
+    # Phase C: time each TPU workload serially so timed sections never share
+    # the device.
     import concurrent.futures as cf
 
-    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+    base = {}
+    try:
+        # best of 3: the torch loop is sensitive to transient host load
+        base["online"] = max(bench_reference_torch_cpu(120) for _ in range(3))
+    except Exception:
+        base["online"] = None
+    try:
+        base["offline"] = max(bench_offline_dqn_torch_cpu() for _ in range(2))
+    except Exception:
+        base["offline"] = None
+    base["s2s"] = bench_seq2slate_reference_cpu()
+
+    with cf.ThreadPoolExecutor(max_workers=3) as ex:
         f_online = ex.submit(prep_online_dqn_tpu)
         f_off = ex.submit(prep_offline_dqn_tpu)
         f_s2s = ex.submit(prep_seq2slate_tpu)
-
-        def baselines():
-            out = {}
-            try:
-                # best of 3: the torch loop is sensitive to transient host load
-                out["online"] = max(bench_reference_torch_cpu(120) for _ in range(3))
-            except Exception:
-                out["online"] = None
-            try:
-                out["offline"] = max(bench_offline_dqn_torch_cpu() for _ in range(2))
-            except Exception:
-                out["offline"] = None
-            out["s2s"] = bench_seq2slate_reference_cpu()
-            return out
-
-        f_base = ex.submit(baselines)
         timed_online, timed_off, timed_s2s = (
             f_online.result(), f_off.result(), f_s2s.result()
         )
-        base = f_base.result()
 
     ours_online = timed_online()
     ours_off = timed_off()
