@@ -223,9 +223,13 @@ def test_world_model_evaluators():
 
 
 @pytest.mark.slow
-def test_cem_linear_dynamics_offline_e2e():
+@pytest.mark.parametrize("num_world_models", [1, 2])
+def test_cem_linear_dynamics_offline_e2e(num_world_models):
     """CEM planning on LinDyna beats the -2.5 bar
-    (cem_single_world_model_linear_dynamics_offline.yaml)."""
+    (cem_single_world_model_linear_dynamics_offline.yaml and, with
+    num_world_models=2, cem_many_world_models_linear_dynamics_offline.yaml —
+    each solution trajectory is simulated by a randomly drawn ensemble
+    member, reference cem_planner.py:136)."""
     import numpy as np
 
     from reagent_tpu.gym.envs import LinDyna
@@ -258,13 +262,16 @@ def test_cem_linear_dynamics_offline_e2e():
     trainer = MDNRNNTrainer(mn, MDNRNNTrainerParameters(
         hidden_size=100, num_hidden_layers=2, num_gaussians=1,
         learning_rate=1e-3, not_terminal_loss_weight=0.0))
-    ts = trainer.init(rng, batch)
-    for i in range(400):
-        ts, m = trainer.train_step(ts, batch)
-    assert np.isfinite(float(m["loss"]))
+    params_list = []
+    for wm in range(num_world_models):
+        ts = trainer.init(jax.random.fold_in(rng, wm), batch)
+        for i in range(400):
+            ts, m = trainer.train_step(ts, batch)
+        assert np.isfinite(float(m["loss"]))
+        params_list.append(ts.params)
 
     planner = CEMPlannerNetwork(
-        mem_net=mn, mem_net_params_list=[ts.params],
+        mem_net=mn, mem_net_params_list=params_list,
         cem_num_iterations=10, cem_population_size=100,
         ensemble_population_size=1, num_elites=15,
         plan_horizon_length=4, state_dim=S_, action_dim=A_,
