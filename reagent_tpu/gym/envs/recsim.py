@@ -95,11 +95,22 @@ class RecSimInterestEvolution:
         slate_size: int = 3,
         max_steps: int = 50,
         single_selection: bool = True,
+        is_interest_exploration: bool = False,
     ):
+        """``is_interest_exploration`` mirrors the reference wrapper's flag
+        (recsim.py:37,54-56): recsim's interest_exploration environment —
+        click reward instead of watch time, a zero value head
+        (``ValueWrapper(env, lambda user, doc: 0.0)``), and no interest
+        drift/budget bonus (exploration of static per-topic affinities)."""
+        if is_interest_exploration and not single_selection:
+            raise NotImplementedError(
+                "Multiselect interest exploration not implemented"
+            )  # same constraint as the reference (recsim.py:42-45)
         self.num_candidates = num_candidates
         self.slate_size = slate_size
         self.max_steps = max_steps
         self.single_selection = single_selection
+        self.is_interest_exploration = is_interest_exploration
         self.num_topics = NUM_TOPICS
         self.observation_dim = NUM_TOPICS
 
@@ -145,6 +156,8 @@ class RecSimInterestEvolution:
             state_or_obs["doc_features"] if isinstance(state_or_obs, dict)
             else jax.nn.one_hot(state_or_obs.doc_topics, NUM_TOPICS)
         )
+        if self.is_interest_exploration:
+            return jnp.zeros(feats.shape[:-1])  # ValueWrapper(env, 0.0)
         dots = feats @ user
         return dots if self.single_selection else (dots + 1.0) / 2.0
 
@@ -179,18 +192,25 @@ class RecSimInterestEvolution:
         quality = state.doc_quality[slate][pos]
 
         align01 = (u[topic] + 1.0) / 2.0
-        engagement = VIDEO_LENGTH * (
-            ENGAGEMENT_FLOOR + (1.0 - ENGAGEMENT_FLOOR) * align01
-        )
-        watch = jnp.where(clicked, jnp.minimum(state.budget, engagement), 0.0)
+        if self.is_interest_exploration:
+            # recsim interest_exploration: reward is the click itself; static
+            # affinities (no drift), unit step cost (episode = max_steps)
+            watch = jnp.where(clicked, 1.0, 0.0)
+            new_interest = u
+            budget = state.budget - 1.0
+        else:
+            engagement = VIDEO_LENGTH * (
+                ENGAGEMENT_FLOOR + (1.0 - ENGAGEMENT_FLOOR) * align01
+            )
+            watch = jnp.where(clicked, jnp.minimum(state.budget, engagement), 0.0)
 
-        new_interest = jnp.where(
-            clicked, self._drift_interest(u, topic, r_drift), u
-        )
-        bonus = QUALITY_BONUS_ALPHA * watch * quality
-        budget = jnp.where(
-            clicked, state.budget - watch + bonus, state.budget - STEP_PENALTY
-        )
+            new_interest = jnp.where(
+                clicked, self._drift_interest(u, topic, r_drift), u
+            )
+            bonus = QUALITY_BONUS_ALPHA * watch * quality
+            budget = jnp.where(
+                clicked, state.budget - watch + bonus, state.budget - STEP_PENALTY
+            )
         topics_new, quality_new = self._sample_docs(r_docs)  # resample_documents
         t = state.t + 1
         done = jnp.logical_or(budget <= 0.0, t >= self.max_steps)

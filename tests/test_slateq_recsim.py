@@ -280,3 +280,22 @@ def test_recsim_random_below_bar():
     )
     mean = float(jnp.mean(totals))
     assert mean < PASSING_SCORE_BAR * 0.95, mean
+
+
+def test_recsim_interest_exploration_mode():
+    """Reference wrapper parity (recsim.py:37-56): click reward, zero value
+    head, multiselect rejected."""
+    env = RecSimInterestEvolution(is_interest_exploration=True)
+    st, obs = env.reset(jax.random.PRNGKey(0))
+    assert float(jnp.sum(jnp.abs(env.doc_value(obs)))) == 0.0
+    total = 0.0
+    for i in range(env.max_steps):
+        st, obs, r, d = env.step(
+            st, jnp.arange(SLATE), jax.random.fold_in(jax.random.PRNGKey(1), i))
+        assert float(r) in (0.0, 1.0)
+        total += float(r)
+        if bool(d):
+            break
+    assert i == env.max_steps - 1  # unit step cost: episode runs to max_steps
+    with pytest.raises(NotImplementedError):
+        RecSimInterestEvolution(is_interest_exploration=True, single_selection=False)
