@@ -152,7 +152,7 @@ def prep_online_dqn_tpu(num_steps: int = 30000):
     rb_state = prefill_replay_buffer(env, rb, rb_state, r_fill, num_steps=1000)
     int(rb_state.add_count)  # full sync
 
-    cfg = FusedLoopConfig(num_steps=num_steps, minibatch_size=512, unroll=2)
+    cfg = FusedLoopConfig(num_steps=num_steps, minibatch_size=512, unroll=8)
 
     # warmup compile.  NOTE: timing must fetch a VALUE — on the remote-TPU
     # backend block_until_ready alone can return before the computation
@@ -498,7 +498,10 @@ def main():
         base["offline"] = max(bench_offline_dqn_torch_cpu() for _ in range(2))
     except Exception:
         base["offline"] = None
-    base["s2s"] = bench_seq2slate_reference_cpu()
+    try:
+        base["s2s"] = bench_seq2slate_reference_cpu()
+    except Exception:
+        base["s2s"] = None
 
     with cf.ThreadPoolExecutor(max_workers=3) as ex:
         f_online = ex.submit(prep_online_dqn_tpu)

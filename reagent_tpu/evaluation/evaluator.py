@@ -101,18 +101,54 @@ class Evaluator(ObservableMixin):
         return cpe_details
 
     def score_cpe(self, metric_name: str, edp: EvaluationDataPage) -> CpeEstimateSet:
+        from reagent_tpu.evaluation.jax_sequential_estimators import (
+            JaxSequentialDoublyRobustEstimator,
+            JaxWeightedSequentialDoublyRobustEstimator,
+            pad_edp_trajectories,
+        )
+
         direct_method, inverse_propensity, doubly_robust = (
             self.doubly_robust_estimator.estimate(edp)
         )
-        sequential_doubly_robust = self.sequential_doubly_robust_estimator.estimate(edp)
-        weighted_doubly_robust = self.weighted_sequential_doubly_robust_estimator.estimate(
-            edp, num_j_steps=1, whether_self_normalize_importance_weights=True
+        # pad once and share across the three sequential estimates (the
+        # O(N*T*A) padding + device transfer would otherwise repeat per call)
+        seq_is_jax = isinstance(
+            self.sequential_doubly_robust_estimator, JaxSequentialDoublyRobustEstimator
         )
-        magic = self.weighted_sequential_doubly_robust_estimator.estimate(
-            edp,
-            num_j_steps=Evaluator.NUM_J_STEPS_FOR_MAGIC_ESTIMATOR,
-            whether_self_normalize_importance_weights=True,
+        wdr_is_jax = isinstance(
+            self.weighted_sequential_doubly_robust_estimator,
+            JaxWeightedSequentialDoublyRobustEstimator,
         )
+        padded = pad_edp_trajectories(edp) if (seq_is_jax or wdr_is_jax) else None
+        sequential_doubly_robust = (
+            self.sequential_doubly_robust_estimator.estimate_padded(padded)
+            if seq_is_jax
+            else self.sequential_doubly_robust_estimator.estimate(edp)
+        )
+        if wdr_is_jax:
+            weighted_doubly_robust = (
+                self.weighted_sequential_doubly_robust_estimator.estimate_padded(
+                    padded, num_j_steps=1,
+                    whether_self_normalize_importance_weights=True,
+                )
+            )
+            magic = self.weighted_sequential_doubly_robust_estimator.estimate_padded(
+                padded,
+                num_j_steps=Evaluator.NUM_J_STEPS_FOR_MAGIC_ESTIMATOR,
+                whether_self_normalize_importance_weights=True,
+            )
+        else:
+            weighted_doubly_robust = (
+                self.weighted_sequential_doubly_robust_estimator.estimate(
+                    edp, num_j_steps=1,
+                    whether_self_normalize_importance_weights=True,
+                )
+            )
+            magic = self.weighted_sequential_doubly_robust_estimator.estimate(
+                edp,
+                num_j_steps=Evaluator.NUM_J_STEPS_FOR_MAGIC_ESTIMATOR,
+                whether_self_normalize_importance_weights=True,
+            )
         return CpeEstimateSet(
             direct_method=direct_method,
             inverse_propensity=inverse_propensity,

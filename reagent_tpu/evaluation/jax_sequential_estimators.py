@@ -210,6 +210,13 @@ class JaxWeightedSequentialDoublyRobustEstimator:
     ) -> CpeEstimate:
         N, T = padded.rewards.shape
 
+        # MAGIC's confidence bounds need >=2 trajectories to form subsets
+        # (the reference divides by a floored-to-zero subset count there,
+        # weighted_sequential_doubly_robust_estimator.py:99); degrade to the
+        # plain WDR estimate instead of crashing.
+        if N < 2:
+            num_j_steps = 1
+
         j_steps = [float("inf")]
         if num_j_steps > 1:
             j_steps.append(-1)
@@ -220,9 +227,22 @@ class JaxWeightedSequentialDoublyRobustEstimator:
             [int(min(j, T - 1)) for j in j_steps], jnp.int32
         )
 
-        num_subsets = int(
-            min(N / 2, WeightedSequentialDoublyRobustEstimator.NUM_SUBSETS_FOR_CB_ESTIMATES)
-        )
+        # Subsets feed only the multi-j confidence bounds; the oracle skips
+        # them entirely for a single j-step (:99-107).  Clamp to >=1 so a
+        # 1-trajectory EDP (num_subsets would floor to 0) cannot divide by
+        # zero on the single-j path either.
+        if len(j_steps) > 1:
+            num_subsets = max(
+                1,
+                int(
+                    min(
+                        N / 2,
+                        WeightedSequentialDoublyRobustEstimator.NUM_SUBSETS_FOR_CB_ESTIMATES,
+                    )
+                ),
+            )
+        else:
+            num_subsets = 1
         interval = N / num_subsets
         bounds = [
             (int(i * interval), int((i + 1) * interval)) for i in range(num_subsets)
@@ -336,7 +356,9 @@ class JaxSequentialDoublyRobustEstimator:
         self.gamma = gamma
 
     def estimate(self, edp: EvaluationDataPage) -> CpeEstimate:
-        padded = pad_edp_trajectories(edp)
+        return self.estimate_padded(pad_edp_trajectories(edp))
+
+    def estimate_padded(self, padded: PaddedTrajectories) -> CpeEstimate:
         drs, evs = _seq_dr_core(padded, jnp.asarray(self.gamma, jnp.float32))
         drs = np.asarray(drs, np.float64)
         evs = np.asarray(evs, np.float64)

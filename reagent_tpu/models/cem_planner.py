@@ -47,12 +47,18 @@ class CEMPlannerNetwork:
         action_upper_bounds: Optional[np.ndarray] = None,
         action_lower_bounds: Optional[np.ndarray] = None,
         sample_next_state: bool = True,
+        sample_not_terminal: bool = True,
     ):
         """``sample_next_state=False`` propagates the GMM's expected next
         state instead of sampling one (reference :202-209 always samples).
         With a unimodal world model this makes every action-sequence score
         deterministic, removing simulation variance from elite selection —
-        use it when num_gaussians == 1."""
+        use it when num_gaussians == 1.
+
+        ``sample_not_terminal=False`` likewise replaces the reference's
+        Bernoulli terminal sample (:211-216) with the expected survival
+        probability, so each solution scores its expected discounted return
+        under the terminal model.  Defaults keep reference semantics."""
         self.mem_net = mem_net
         # stack ensemble params into one pytree with leading ensemble axis
         self.ensemble_params = jax.tree_util.tree_map(
@@ -68,6 +74,7 @@ class CEMPlannerNetwork:
         self.action_dim = action_dim
         self.discrete_action = discrete_action
         self.sample_next_state = sample_next_state
+        self.sample_not_terminal = sample_not_terminal
         self.terminal_effective = terminal_effective
         self.gamma = gamma
         self.alpha = alpha
@@ -101,7 +108,7 @@ class CEMPlannerNetwork:
         def rollout(params, actions, rng):
             def step(carry, action):
                 state, alive, rng = carry
-                rng, r_mix, r_norm = jax.random.split(rng, 3)
+                rng, r_mix, r_norm, r_term = jax.random.split(rng, 4)
                 out = self.mem_net.apply(
                     params,
                     rlt.FeatureData(float_features=state.reshape(1, 1, -1)),
@@ -118,16 +125,18 @@ class CEMPlannerNetwork:
                         jnp.exp(out.logpi[0, 0])[:, None] * out.mus[0, 0], axis=0
                     )
                 reward = out.reward[0, 0] * alive
-                if self.terminal_effective:
-                    # Redesign vs reference :211-216 (Bernoulli terminal sample):
-                    # weight by the *expected* survival probability instead of
-                    # sampling it.  Each solution's score becomes the expected
-                    # discounted return under the terminal model, removing the
-                    # Bernoulli variance from the elite selection / first-action
+                if not self.terminal_effective:
+                    not_term = jnp.asarray(1.0)
+                elif self.sample_not_terminal:
+                    not_term = jax.random.bernoulli(
+                        r_term, jax.nn.sigmoid(out.not_terminal[0, 0])
+                    ).astype(jnp.float32)
+                else:
+                    # Redesign vs reference :211-216: weight by the *expected*
+                    # survival probability instead of sampling it, removing
+                    # Bernoulli variance from elite selection / first-action
                     # tallies (pop-size-100 tallies are otherwise very noisy).
                     not_term = jax.nn.sigmoid(out.not_terminal[0, 0])
-                else:
-                    not_term = jnp.asarray(1.0)
                 return (next_state, alive * not_term, rng), reward
 
             gammas = self.gamma ** jnp.arange(self.plan_horizon_length)

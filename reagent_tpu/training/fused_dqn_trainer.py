@@ -125,13 +125,13 @@ class FusedDQNTrainer:
         # list we inferred) must match the flax module's own forward.  Catches
         # q-networks whose `activations` attribute is absent or mismatched
         # (e.g. a nonlinearity on the output layer) before they silently
-        # train with wrong gradients.
-        probe = mlp_forward_transposed(
-            obs_prototype.astype(jnp.float32).reshape(1, -1)
-            if obs_prototype.ndim == 1 else obs_prototype.astype(jnp.float32),
-            tuple(W), tuple(b), acts,
-        )
-        want = self.q_network.apply(params, obs_prototype)
+        # train with wrong gradients.  Probe with a fixed NONZERO input: the
+        # canonical zeros prototype has all-zero pre-activations (zero-init
+        # biases), where every activation agrees and the probe proves nothing.
+        obs_dim = dims[0][0]  # dims = [(in_i, out_i)] per layer
+        probe_x = jnp.linspace(-1.0, 1.0, obs_dim, dtype=jnp.float32).reshape(1, -1)
+        probe = mlp_forward_transposed(probe_x, tuple(W), tuple(b), acts)
+        want = self.q_network.apply(params, probe_x)
         want = want.reshape(probe.shape)
         if not bool(jnp.allclose(probe, want, atol=1e-4, rtol=1e-4)):
             raise ValueError(

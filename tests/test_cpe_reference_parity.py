@@ -13,10 +13,6 @@ Skips cleanly if the reference tree is unavailable.
 
 from __future__ import annotations
 
-import enum
-import sys
-import types as pytypes
-
 import numpy as np
 import pytest
 
@@ -32,52 +28,12 @@ from reagent_tpu.evaluation.weighted_sequential_doubly_robust_estimator import (
     WeightedSequentialDoublyRobustEstimator,
 )
 
-REFERENCE_PATH = "/root/reference"
-
-
-def _stub_torchrec() -> None:
-    if "torchrec" in sys.modules:
-        return
-
-    class _Any:
-        def __init__(self, *a, **k):
-            pass
-
-    class PoolingType(enum.Enum):
-        MEAN = "MEAN"
-        SUM = "SUM"
-
-    torchrec = pytypes.ModuleType("torchrec")
-    for name in (
-        "KeyedJaggedTensor", "JaggedTensor", "KeyedTensor",
-        "EmbeddingBagConfig", "EmbeddingBagCollection",
-        "EmbeddingConfig", "EmbeddingCollection",
-    ):
-        setattr(torchrec, name, _Any)
-    torchrec.PoolingType = PoolingType
-    sys.modules["torchrec"] = torchrec
-    for m in (
-        "torchrec.sparse", "torchrec.sparse.jagged_tensor",
-        "torchrec.modules", "torchrec.modules.embedding_configs",
-        "torchrec.models", "torchrec.models.dlrm",
-    ):
-        sys.modules[m] = pytypes.ModuleType(m)
-    sys.modules["torchrec.sparse.jagged_tensor"].KeyedJaggedTensor = _Any
-    sys.modules["torchrec.sparse.jagged_tensor"].JaggedTensor = _Any
-    sys.modules["torchrec.sparse.jagged_tensor"].KeyedTensor = _Any
-    sys.modules["torchrec.modules.embedding_configs"].PoolingType = PoolingType
-    sys.modules["torchrec.models.dlrm"].SparseArch = _Any
-
-
 def _import_reference():
-    import os
+    from reagent_tpu.utils.reference_compat import add_reference_to_path
 
-    if not os.path.isdir(REFERENCE_PATH):
-        pytest.skip("reference tree not available")
     torch = pytest.importorskip("torch")
-    if REFERENCE_PATH not in sys.path:
-        sys.path.append(REFERENCE_PATH)
-    _stub_torchrec()
+    if not add_reference_to_path():
+        pytest.skip("reference tree not available")
     from reagent.evaluation.doubly_robust_estimator import (
         DoublyRobustEstimator as RefDR,
     )

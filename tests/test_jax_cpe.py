@@ -140,3 +140,18 @@ def test_jax_wdr_scales_to_large_edp():
     assert np.isfinite(out.raw)
     # generous wall-clock bar: the per-trajectory numpy path is minutes here
     assert elapsed < 120, f"large-EDP MAGIC took {elapsed:.1f}s"
+
+
+def test_jax_wdr_single_trajectory_edp():
+    """Regression: a 1-trajectory EDP must not divide by zero building the
+    confidence-bound subsets (reference skips subsets for single j-step)."""
+    from reagent_tpu.evaluation.jax_sequential_estimators import (
+        JaxWeightedSequentialDoublyRobustEstimator,
+    )
+
+    edp = make_edp(n_traj=1, seed=5)
+    est = JaxWeightedSequentialDoublyRobustEstimator(gamma=0.9)
+    for j in (1, 25):
+        cpe = est.estimate(edp, num_j_steps=j,
+                           whether_self_normalize_importance_weights=True)
+        assert np.isfinite(cpe.raw)

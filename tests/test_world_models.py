@@ -379,7 +379,7 @@ def test_cem_cartpole_offline_reaches_bar():
         ensemble_population_size=1, num_elites=15,
         plan_horizon_length=10, state_dim=S_, action_dim=A_,
         discrete_action=True, terminal_effective=True, gamma=1.0,
-        sample_next_state=False,
+        sample_next_state=False, sample_not_terminal=False,
     )
 
     returns = []
