@@ -499,7 +499,10 @@ def main():
     except Exception:
         base["offline"] = None
     try:
-        base["s2s"] = bench_seq2slate_reference_cpu()
+        # best of 2 for the same transient-load reason as the others
+        runs = [bench_seq2slate_reference_cpu() for _ in range(2)]
+        runs = [r for r in runs if r]
+        base["s2s"] = max(runs) if runs else None
     except Exception:
         base["s2s"] = None
 
