@@ -95,6 +95,46 @@ def make_policy_network_batch(batch: Dict[str, Array]) -> rlt.PolicyNetworkInput
     )
 
 
+def make_slate_q_batch(batch: Dict[str, Array]) -> rlt.SlateQInput:
+    """Slate replay dict -> SlateQInput.
+
+    Reference: trainer_preprocessor.py:230-275 SlateQInputMaker.  Expects the
+    slate keys the RecSim-style envs log into replay: ``doc`` [B, C, D]
+    candidate features, ``doc_value`` [B, C] (the ValueWrapper head),
+    ``action`` [B, S] slate indices, ``position_reward`` [B, S] per-position
+    reward (watch time), ``response_click`` [B, S] click indicators — plus
+    their ``next_*`` counterparts from the buffer.  Unlike the reference we
+    keep the slate un-augmented (no null-action concat): our SlateQTrainer's
+    masked loss handles no-click rows via ``reward_mask`` directly.
+    """
+    B = batch["state"].shape[0]
+    terminal = batch["terminal"].reshape(B, 1).astype(jnp.float32)
+
+    def docs(prefix: str = "") -> rlt.DocList:
+        feats = batch[prefix + "doc"]
+        return rlt.DocList(
+            float_features=feats,
+            mask=batch.get(
+                prefix + "item_mask", jnp.ones(feats.shape[:2], jnp.float32)
+            ),
+            value=batch[prefix + "doc_value"],
+        )
+
+    return rlt.SlateQInput(
+        state=rlt.FeatureData(float_features=batch["state"], candidate_docs=docs()),
+        next_state=rlt.FeatureData(
+            float_features=batch["next_state"], candidate_docs=docs("next_")
+        ),
+        action=batch["action"].astype(jnp.int32),
+        next_action=batch["next_action"].astype(jnp.int32),
+        reward=batch["position_reward"],
+        reward_mask=batch["response_click"].astype(bool),
+        time_diff=jnp.ones((B, 1), jnp.float32),
+        step=batch["step"].reshape(B, 1) if "step" in batch else None,
+        not_terminal=1.0 - terminal,
+    )
+
+
 def make_trainer_preprocessor(trainer, num_actions: Optional[int] = None):
     """Pick the batch maker from the trainer's train_step batch annotation.
 
@@ -114,6 +154,8 @@ def make_trainer_preprocessor(trainer, num_actions: Optional[int] = None):
         return lambda d: make_parametric_dqn_batch(d, num_actions)
     if name == "PolicyNetworkInput":
         return make_policy_network_batch
+    if name == "SlateQInput":
+        return make_slate_q_batch
     raise NotImplementedError(
         f"no batch maker for trainer {type(trainer).__name__} (batch: {name})"
     )

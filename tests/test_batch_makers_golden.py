@@ -122,3 +122,61 @@ def test_policy_network_batch_maker_golden():
     npt.assert_array_almost_equal([acts[0]], np.asarray(b.action.float_features))
     npt.assert_array_almost_equal([acts[1]], np.asarray(b.next_action.float_features))
     assert b.reward.shape == (1, 1) and b.not_terminal.shape == (1, 1)
+
+
+def test_slate_q_batch_maker_golden():
+    """End-to-end: slate transitions through the replay buffer's extra keys
+    into make_slate_q_batch, exact contents asserted (reference
+    SlateQInputMaker, trainer_preprocessor.py:230-275)."""
+    import jax.numpy as jnp
+
+    from reagent_tpu.gym.preprocessors import make_slate_q_batch
+    from reagent_tpu.training.slate_q_trainer import SlateQTrainer  # noqa: F401
+
+    C, D, S = 4, 3, 2
+    rb = ReplayBuffer(replay_capacity=6, update_horizon=1, gamma=0.99)
+    docs = [np.full((C, D), i, np.float32) for i in range(4)]
+    values = [np.arange(C, dtype=np.float32) + i for i in range(4)]
+    slates = [np.asarray([i % C, (i + 1) % C], np.int64) for i in range(4)]
+    pos_rew = [np.asarray([i, 0.0], np.float32) for i in range(4)]
+    clicks = [np.asarray([1.0, 0.0], np.float32) for i in range(4)]
+    state = rb.init(
+        observation=jnp.zeros(3), action=jnp.zeros(S, jnp.int32),
+        reward=jnp.float32(0), terminal=jnp.bool_(False),
+        doc=jnp.asarray(docs[0]), doc_value=jnp.asarray(values[0]),
+        position_reward=jnp.asarray(pos_rew[0]), response_click=jnp.asarray(clicks[0]),
+    )
+    for i in range(4):
+        state = rb.add(
+            state, observation=jnp.full(3, float(i)),
+            action=jnp.asarray(slates[i], jnp.int32),
+            reward=jnp.float32(pos_rew[i].sum()), terminal=jnp.bool_(i == 3),
+            doc=jnp.asarray(docs[i]), doc_value=jnp.asarray(values[i]),
+            position_reward=jnp.asarray(pos_rew[i]),
+            response_click=jnp.asarray(clicks[i]),
+        )
+    raw = rb.sample(state, jax.random.PRNGKey(0), 1,
+                    indices=jnp.asarray([1], jnp.int32))
+    b = make_slate_q_batch(raw)
+    npt.assert_array_equal([slates[1]], np.asarray(b.action))
+    npt.assert_array_equal([slates[2]], np.asarray(b.next_action))
+    npt.assert_array_equal([docs[1]], np.asarray(b.state.candidate_docs.float_features))
+    npt.assert_array_equal([docs[2]],
+                           np.asarray(b.next_state.candidate_docs.float_features))
+    npt.assert_array_equal([values[1]], np.asarray(b.state.candidate_docs.value))
+    npt.assert_array_almost_equal([pos_rew[1]], np.asarray(b.reward))
+    npt.assert_array_equal([[True, False]], np.asarray(b.reward_mask))
+    npt.assert_array_equal([[1.0]], np.asarray(b.not_terminal))
+
+    # the built batch trains through SlateQTrainer without shape errors
+    from reagent_tpu.models import FullyConnectedCritic
+
+    q = FullyConnectedCritic(state_dim=3, action_dim=D, sizes=[8],
+                             activations=["relu"])
+    trainer = SlateQTrainer(q_network=q, slate_size=S,
+                            optimizer={"Adam": {"lr": 1e-3}})
+    raw2 = rb.sample(state, jax.random.PRNGKey(0), 2,
+                     indices=jnp.asarray([0, 1], jnp.int32))
+    ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, D)))
+    ts, m = trainer.train_step(ts, make_slate_q_batch(raw2))
+    assert np.isfinite(float(m["td_loss"]))
