@@ -180,3 +180,33 @@ def test_slate_q_batch_maker_golden():
     ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, D)))
     ts, m = trainer.train_step(ts, make_slate_q_batch(raw2))
     assert np.isfinite(float(m["td_loss"]))
+
+
+def test_trainer_preprocessor_dispatch():
+    """Annotation-driven batch-maker dispatch covers all four batch types
+    (reference trainer_preprocessor.py:32-57)."""
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.gym.preprocessors import make_trainer_preprocessor
+    from reagent_tpu.models import (
+        FullyConnectedCritic,
+        FullyConnectedDQN,
+        GaussianFullyConnectedActor,
+    )
+    from reagent_tpu.training import DQNTrainer, ParametricDQNTrainer, SACTrainer
+    from reagent_tpu.training.slate_q_trainer import SlateQTrainer
+
+    q = FullyConnectedDQN(state_dim=4, action_dim=2, sizes=[8], activations=["relu"])
+    crit = FullyConnectedCritic(state_dim=3, action_dim=1, sizes=[8], activations=["relu"])
+    actor = GaussianFullyConnectedActor(state_dim=3, action_dim=1, sizes=[8], activations=["relu"])
+    rl = RLParameters(gamma=0.9, target_update_rate=0.1)
+    assert make_trainer_preprocessor(
+        DQNTrainer(q_network=q, rl=rl), num_actions=2) is not None
+    assert make_trainer_preprocessor(
+        ParametricDQNTrainer(q_network=crit, rl=rl), num_actions=2) is not None
+    assert make_trainer_preprocessor(
+        SACTrainer(actor_network=actor, q1_network=crit, q2_network=crit, rl=rl)
+    ) is not None
+    from reagent_tpu.gym.preprocessors import make_slate_q_batch
+
+    assert make_trainer_preprocessor(
+        SlateQTrainer(q_network=crit, slate_size=2)) is make_slate_q_batch
