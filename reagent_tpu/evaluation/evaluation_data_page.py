@@ -105,6 +105,204 @@ class EvaluationDataPage:
             eval_action_idxs=np.asarray(eval_action_idxs),
         )
 
+    @classmethod
+    def create_from_tensors_seq2slate(
+        cls,
+        seq2slate_net,
+        seq2slate_params,
+        reward_network,
+        reward_params,
+        training_input,
+        eval_greedy: bool,
+        mdp_ids: Optional[np.ndarray] = None,
+        sequence_numbers: Optional[np.ndarray] = None,
+    ) -> "EvaluationDataPage":
+        """Slate-ranking EDP (reference evaluation_data_page.py:92-182).
+
+        ``eval_greedy=True`` evaluates the greedy ranking policy: propensity 1
+        for its single deterministic slate, action_mask = indicator(logged
+        slate == greedy slate).  ``eval_greedy=False`` evaluates the
+        stochastic policy: the model propensity of the *logged* slate (true
+        IPS, but DM/DR are not meaningful — computing all slates' propensities
+        is exponential; reference :134-145).
+
+        ``seq2slate_net``/``reward_network`` are flax-style modules used via
+        ``.apply(params, ...)`` — the ranker with the Seq2SlateTransformerModel
+        mode convention, the reward net over a PreprocessedRankingInput.
+        """
+        from reagent_tpu.models.seq2slate import Seq2SlateMode
+
+        assert training_input.slate_reward is not None
+        assert training_input.tgt_out_probs is not None
+        assert training_input.tgt_out_idx is not None
+        assert training_input.tgt_out_seq is not None
+        B, T, C = training_input.tgt_out_seq.float_features.shape
+
+        rank_output = seq2slate_net.apply(
+            seq2slate_params,
+            Seq2SlateMode.RANK_MODE.value,
+            training_input.state.float_features,
+            training_input.src_seq.float_features,
+            tgt_seq_len=T,
+            greedy=True,
+        )
+        ranked_idx = rank_output.ranked_tgt_out_idx
+        assert ranked_idx is not None
+
+        if eval_greedy:
+            model_propensities = np.ones((B, 1), np.float32)
+            action_mask = np.asarray(
+                jnp.all(
+                    training_input.tgt_out_idx == ranked_idx, axis=1, keepdims=True
+                ),
+                dtype=np.float32,
+            )
+        else:
+            log_probs = seq2slate_net.apply(
+                seq2slate_params,
+                Seq2SlateMode.PER_SEQ_LOG_PROB_MODE.value,
+                training_input.state.float_features,
+                training_input.src_seq.float_features,
+                tgt_in_idx=training_input.tgt_in_idx,
+                tgt_out_idx=training_input.tgt_out_idx,
+                tgt_in_seq=(
+                    None
+                    if training_input.tgt_in_seq is None
+                    else training_input.tgt_in_seq.float_features
+                ),
+            ).per_seq_log_probs
+            model_propensities = np.asarray(jnp.exp(log_probs)).reshape(B, 1)
+            action_mask = np.ones((B, 1), np.float32)
+
+        # predicted reward of the LOGGED slate
+        model_rewards_for_logged_action = np.asarray(
+            reward_network.apply(reward_params, training_input)
+        ).reshape(-1, 1)
+
+        # predicted reward of the greedily RANKED slate (item i sits at
+        # index i + 2 in the vocab — reference :156-159)
+        ranked_tgt_out_seq = jnp.take_along_axis(
+            training_input.src_seq.float_features,
+            (ranked_idx - 2)[:, :, None],
+            axis=1,
+        )
+        ranked_input = training_input.replace(
+            tgt_out_seq=rlt.FeatureData(float_features=ranked_tgt_out_seq),
+            tgt_out_idx=ranked_idx,
+        )
+        model_rewards = np.asarray(
+            reward_network.apply(reward_params, ranked_input)
+        ).reshape(-1, 1)
+
+        return cls(
+            mdp_id=None if mdp_ids is None else np.asarray(mdp_ids),
+            sequence_number=(
+                None if sequence_numbers is None else np.asarray(sequence_numbers)
+            ),
+            model_propensities=model_propensities,
+            model_rewards=model_rewards,
+            action_mask=action_mask,
+            logged_rewards=np.asarray(training_input.slate_reward).reshape(-1, 1),
+            model_rewards_for_logged_action=model_rewards_for_logged_action,
+            logged_propensities=np.asarray(training_input.tgt_out_probs).reshape(
+                -1, 1
+            ),
+        )
+
+    @classmethod
+    def create_from_tensors_parametric_dqn(
+        cls,
+        trainer,
+        trainer_state,
+        mdp_ids: np.ndarray,
+        sequence_numbers: np.ndarray,
+        states: jnp.ndarray,
+        actions: jnp.ndarray,
+        propensities: jnp.ndarray,
+        rewards: jnp.ndarray,
+        possible_actions_mask: jnp.ndarray,
+        possible_actions: jnp.ndarray,  # [B * max_num_actions, action_dim] tiled
+        max_num_actions: int,
+        metrics: Optional[jnp.ndarray] = None,
+    ) -> "EvaluationDataPage":
+        """Parametric-DQN EDP (reference evaluation_data_page.py:186-305).
+
+        The (state, action) Q-network is forwarded over every possible action
+        by tiling states ``max_num_actions`` times, mirroring the reference's
+        ``possible_actions_state_concat``.
+        """
+        assert trainer.reward_network is not None, (
+            "CFEval requires a trained reward network"
+        )
+        B = possible_actions_mask.shape[0]
+        M = max_num_actions
+        state_dim = states.shape[1]
+        tiled_states = jnp.reshape(
+            jnp.tile(states, (1, M)), (-1, state_dim)
+        )  # [B*M, state_dim]
+
+        # FIXME parity (reference :215-218): model_values should come from a
+        # CPE Q-network once parametric dqn grows one; until then q_network.
+        model_values = trainer.q_network.apply(
+            trainer_state.q_params, tiled_states, possible_actions
+        ).reshape(B, M)
+        optimal_q_values = model_values
+        eval_action_idxs = None
+
+        temperature = getattr(trainer.rl, "temperature", 1.0)
+        model_propensities = jax.nn.softmax(
+            optimal_q_values / max(temperature, 1e-9)
+            + jnp.log(jnp.clip(possible_actions_mask.astype(jnp.float32), 1e-20, 1.0)),
+            axis=1,
+        )
+
+        rewards_and_metrics = trainer.reward_network.apply(
+            trainer_state.reward_params, tiled_states, possible_actions
+        )
+        model_rewards = rewards_and_metrics[:, :1].reshape(B, M)
+        model_metrics = rewards_and_metrics[:, 1:].reshape(B, -1)
+
+        model_rewards_for_logged_action = trainer.reward_network.apply(
+            trainer_state.reward_params, states, actions
+        )[:, :1]
+
+        action_dim = actions.shape[1]
+        action_mask = jnp.all(
+            possible_actions.reshape(B, M, action_dim) == actions[:, None, :],
+            axis=2,
+        ).astype(jnp.float32)
+        assert np.all(np.asarray(action_mask).sum(axis=1) == 1)
+        num_metrics = model_metrics.shape[1] // M
+
+        model_metrics_values = None
+        if num_metrics > 0:
+            # FIXME parity (reference :276-279)
+            model_metrics_values = jnp.tile(model_values, (1, num_metrics))
+
+        return cls(
+            mdp_id=np.asarray(mdp_ids),
+            sequence_number=np.asarray(sequence_numbers),
+            logged_propensities=np.asarray(propensities).reshape(-1, 1),
+            logged_rewards=np.asarray(rewards).reshape(-1, 1),
+            action_mask=np.asarray(action_mask),
+            model_rewards=np.asarray(model_rewards),
+            model_rewards_for_logged_action=np.asarray(
+                model_rewards_for_logged_action
+            ),
+            model_values=np.asarray(model_values),
+            model_metrics_values=(
+                None
+                if model_metrics_values is None
+                else np.asarray(model_metrics_values)
+            ),
+            model_propensities=np.asarray(model_propensities),
+            logged_metrics=None if metrics is None else np.asarray(metrics),
+            model_metrics=None if num_metrics == 0 else np.asarray(model_metrics),
+            possible_actions_mask=np.asarray(possible_actions_mask),
+            optimal_q_values=np.asarray(optimal_q_values),
+            eval_action_idxs=eval_action_idxs,
+        )
+
     # ------------------------------------------------------------ operations
 
     def append(self, edp: "EvaluationDataPage") -> "EvaluationDataPage":

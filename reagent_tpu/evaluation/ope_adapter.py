@@ -27,32 +27,48 @@ class OPEstimatorAdapter:
 
     @staticmethod
     def edp_to_contextual_bandit_log(edp: EvaluationDataPage) -> BanditsEstimatorInput:
+        """An all-zero action_mask row means the logged action is outside the
+        evaluated policy's support (the seq2slate greedy case, reference
+        ope_adapter.py:62-68): encode it as log_action=-1 with zero logged
+        propensity so IPS terms vanish but the sample still counts."""
+        action_mask = np.asarray(edp.action_mask)
+        n, a = action_mask.shape
+        taken = np.argmax(action_mask, axis=1)
+        has_match = action_mask[np.arange(n), taken] > 0
+        probs = np.zeros((n, a))
+        probs[np.arange(n), taken] = np.where(
+            has_match, edp.logged_propensities.reshape(-1), 0.0
+        )
         return BanditsEstimatorInput(
-            log_action=np.argmax(edp.action_mask, axis=1),
+            log_action=np.where(has_match, taken, -1),
             log_reward=edp.logged_rewards.reshape(-1),
-            log_propensities=_expand_logged_propensities(edp),
+            log_propensities=probs,
             tgt_propensities=np.asarray(edp.model_propensities),
             dm_rewards=np.asarray(edp.model_rewards),
+            dm_rewards_for_logged_action=(
+                None
+                if edp.model_rewards_for_logged_action is None
+                else np.asarray(edp.model_rewards_for_logged_action).reshape(-1)
+            ),
         )
 
-    def estimate(self, edp: EvaluationDataPage) -> CpeEstimate:
-        result = self._estimator.evaluate(self.edp_to_contextual_bandit_log(edp))
+    def estimate(self, edp: EvaluationDataPage, **kwargs) -> CpeEstimate:
+        result = self._estimator.evaluate(
+            self.edp_to_contextual_bandit_log(edp), **kwargs
+        )
         logged = max(float(np.mean(edp.logged_rewards)), 1e-6)
+        normalized = result.estimated_reward_normalized
+        if normalized is None:
+            normalized = result.estimated_reward / logged
+        normalized_std_error = result.estimated_reward_normalized_std_error
+        if normalized_std_error is None:
+            normalized_std_error = (result.estimated_reward_std_error or 0.0) / logged
         return CpeEstimate(
             raw=result.estimated_reward,
-            normalized=result.estimated_reward / logged,
+            normalized=normalized,
             raw_std_error=result.estimated_reward_std_error or 0.0,
-            normalized_std_error=(result.estimated_reward_std_error or 0.0) / logged,
+            normalized_std_error=normalized_std_error,
         )
-
-
-def _expand_logged_propensities(edp: EvaluationDataPage) -> np.ndarray:
-    """[N,1] logged propensity of the taken action -> [N,A] rows (mass on it)."""
-    n, a = edp.action_mask.shape
-    probs = np.full((n, a), 1e-6)
-    taken = np.argmax(edp.action_mask, axis=1)
-    probs[np.arange(n), taken] = edp.logged_propensities.reshape(-1)
-    return probs
 
 
 class SequentialOPEstimatorAdapter:

@@ -24,6 +24,7 @@ class EstimatorResult:
     estimated_weight: float = 1.0
     estimated_reward_normalized: Optional[float] = None
     estimated_reward_std_error: Optional[float] = None
+    estimated_reward_normalized_std_error: Optional[float] = None
 
 
 @dataclasses.dataclass

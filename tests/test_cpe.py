@@ -151,3 +151,62 @@ def test_evaluator_full_suite():
     details2 = evaluator.evaluate_post_training(edp2)
     assert details2.action_distribution == {"a": 1.0, "b": 0.0}
     assert details2.q_value_means is not None
+
+
+def test_parametric_dqn_edp():
+    """create_from_tensors_parametric_dqn smoke + internal consistency
+    (reference evaluation_data_page.py:186-305)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.evaluation.ope_adapter import OPEstimatorAdapter
+    from reagent_tpu.models.critic import FullyConnectedCritic
+    from reagent_tpu.ope.estimators.contextual_bandits_estimators import (
+        DoublyRobustEstimator as OpeDR,
+    )
+    from reagent_tpu.training import ParametricDQNTrainer
+
+    B, M, state_dim = 16, 3, 4
+    net_kw = dict(state_dim=state_dim, action_dim=M, sizes=[16], activations=["relu"])
+    trainer = ParametricDQNTrainer(
+        q_network=FullyConnectedCritic(**net_kw),
+        rl=RLParameters(gamma=0.9, target_update_rate=0.1, temperature=0.5),
+        reward_network=FullyConnectedCritic(**net_kw),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, state_dim)), jnp.zeros((1, M)))
+
+    rng = np.random.default_rng(0)
+    states = jnp.asarray(rng.normal(size=(B, state_dim)).astype(np.float32))
+    logged_idx = rng.integers(0, M, B)
+    actions = jnp.asarray(np.eye(M, dtype=np.float32)[logged_idx])
+    possible_actions = jnp.asarray(np.tile(np.eye(M, dtype=np.float32), (B, 1)))
+    edp = EvaluationDataPage.create_from_tensors_parametric_dqn(
+        trainer,
+        ts,
+        mdp_ids=np.arange(B).reshape(-1, 1),
+        sequence_numbers=np.zeros((B, 1)),
+        states=states,
+        actions=actions,
+        propensities=jnp.full((B, 1), 1.0 / M),
+        rewards=jnp.asarray(rng.uniform(size=(B, 1)).astype(np.float32)),
+        possible_actions_mask=jnp.ones((B, M)),
+        possible_actions=possible_actions,
+        max_num_actions=M,
+    )
+    edp.validate()
+    assert edp.model_values.shape == (B, M)
+    assert edp.model_propensities.shape == (B, M)
+    np.testing.assert_allclose(edp.model_propensities.sum(axis=1), 1.0, atol=1e-5)
+    # the logged one-hot action must be recovered exactly
+    np.testing.assert_array_equal(np.argmax(edp.action_mask, axis=1), logged_idx)
+    # reward net consistency: row gather == direct forward on the logged action
+    np.testing.assert_allclose(
+        edp.model_rewards[np.arange(B), logged_idx],
+        edp.model_rewards_for_logged_action.reshape(-1),
+        atol=1e-5,
+    )
+    # the full CPE pipeline consumes it
+    _, _, dr = DoublyRobustEstimator().estimate(edp)
+    assert np.isfinite(dr.raw)
+    assert np.isfinite(OPEstimatorAdapter(OpeDR()).estimate(edp).raw)
