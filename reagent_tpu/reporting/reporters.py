@@ -50,6 +50,33 @@ class SlateQReporter(ReporterBase):
         super().__init__(**_mk(["td_loss", "q_mean"]))
 
 
+class Seq2SlateReporter(ReporterBase):
+    """Ranking trainer validation metrics (the reference logs these from
+    seq2slate_trainer.py:231-236 and :276-279 into its lightning reporter;
+    the OSS tree has no dedicated reporter class, so the key set is ours)."""
+
+    def __init__(self):
+        kw = _mk(
+            [
+                "obj_loss", "baseline_loss", "ips_mean", "clamped_ips_mean",
+                "kl_loss", "eval_baseline_loss",
+            ]
+        )
+        kw["value_list_observers"].update(
+            {
+                k: ValueListObserver(k)
+                for k in (
+                    "eval_advantages",
+                    "logged_slate_rank_probs",
+                    "ranked_slate_rank_probs",
+                    "eval_data_pages_g",
+                    "eval_data_pages_ng",
+                )
+            }
+        )
+        super().__init__(**kw)
+
+
 class WorldModelReporter(ReporterBase):
     def __init__(self):
         super().__init__(**_mk(["loss", "gmm", "bce", "mse"]))

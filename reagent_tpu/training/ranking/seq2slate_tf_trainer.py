@@ -40,10 +40,37 @@ class Seq2SlateTeacherForcingTrainer:
         seq2slate_net: Seq2SlateTransformerModel,
         params: Seq2SlateParameters = Seq2SlateParameters(),
         policy_optimizer: Any = None,
+        calc_cpe: bool = False,
+        reward_network: Optional[nn.Module] = None,
+        reward_params: Any = None,
     ):
         self.seq2slate_net = seq2slate_net
         self.params = params
         self.policy_opt = make_optimizer(policy_optimizer)
+        assert not calc_cpe or reward_network is not None
+        self.calc_cpe = calc_cpe
+        self.reward_network = reward_network
+        self.reward_params = reward_params
+
+    def validation_step(
+        self, state: "Seq2SlateTFTrainerState",
+        batch: rlt.PreprocessedRankingInput, reward_params: Any = None,
+    ):
+        """Reference seq2slate_tf_trainer.py:100-137 (no baseline net)."""
+        from reagent_tpu.training.ranking.seq2slate_trainer import (
+            seq2slate_validation_step,
+        )
+
+        return seq2slate_validation_step(
+            self.seq2slate_net,
+            state.policy_params,
+            batch,
+            calc_cpe=self.calc_cpe,
+            reward_network=self.reward_network,
+            reward_params=(
+                reward_params if reward_params is not None else self.reward_params
+            ),
+        )
 
     def init(self, rng: Array, batch_proto: rlt.PreprocessedRankingInput) -> Seq2SlateTFTrainerState:
         policy_params = self.seq2slate_net.init(
