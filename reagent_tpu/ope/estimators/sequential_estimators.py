@@ -56,17 +56,58 @@ class RLEstimatorInput:
         ]
 
     def cum_importance_weights(self, self_normalize: bool = True) -> np.ndarray:
+        """rho = cumprod(pi_e/pi_b) zeroed at masked steps, normalized per
+        timestep column — by the column weight-sum ("weighted", the reference
+        default) or the column valid-count; near-zero denominators get +N
+        (reference sequential_estimators.py:266-298 _calc_weights)."""
         ratio = np.where(
             self.mask > 0,
             self.tgt_prop_of_logged() / np.maximum(self.log_propensities, 1e-12),
             1.0,
         )
-        w = np.cumprod(ratio, axis=1)
+        w = np.cumprod(ratio, axis=1) * self.mask
         if self_normalize:
             denom = np.sum(w, axis=0, keepdims=True)
-            denom = np.where(denom == 0, len(w), denom)
-            return w / denom
-        return w / len(w)
+        else:
+            denom = np.sum(self.mask, axis=0, keepdims=True)
+        denom = denom + (denom < 1.0e-15) * len(w)
+        return w / denom
+
+
+    def with_absorbing_padding(self) -> "RLEstimatorInput":
+        """Replace masked (post-termination) steps with absorbing transitions:
+        reward 0, importance ratio 1, Q = V = 0, mask 1.
+
+        The reference weighting (sequential_estimators.py:290-298) gives the
+        episodes surviving at step t the FULL column weight, so logs of
+        episodes that simply end overweight long survivors; padding episodic
+        logs with an absorbing state keeps every episode in the per-step
+        denominator and is the statistically sound preparation for the
+        reference semantics.
+        """
+        dead = self.mask <= 0
+        A = self.tgt_propensities.shape[2]
+        actions = np.where(dead, 0, self.actions)
+        rewards = np.where(dead, 0.0, self.rewards)
+        log_prop = np.where(dead, 1.0, self.log_propensities)
+        tgt_prop = np.where(
+            dead[:, :, None], np.eye(A)[np.zeros_like(self.actions)],
+            self.tgt_propensities,
+        )
+        q_values = (
+            None
+            if self.q_values is None
+            else np.where(dead[:, :, None], 0.0, self.q_values)
+        )
+        return dataclasses.replace(
+            self,
+            actions=actions,
+            rewards=rewards,
+            log_propensities=log_prop,
+            tgt_propensities=tgt_prop,
+            mask=np.ones_like(self.mask),
+            q_values=q_values,
+        )
 
 
 def _res(input: RLEstimatorInput, est_per_traj: np.ndarray) -> EstimatorResult:
@@ -78,14 +119,18 @@ def _res(input: RLEstimatorInput, est_per_traj: np.ndarray) -> EstimatorResult:
 
 
 class DMEstimator(Estimator):
-    """V(s_0) under the model (reference :221-248)."""
+    """Direct method (reference :221-246): the reference's _estimate_value
+    (:205-218) sums the model state value along the LOGGED trajectory,
+    mean_episodes[ Σ_t γ^t V(s_t) ], with V(s) = Σ_a π_tgt(a|s) Q(s, a) —
+    not just V(s_0)."""
 
     def evaluate(self, input: RLEstimatorInput, **kwargs) -> EstimatorResult:
         assert input.q_values is not None
-        v0 = np.sum(input.tgt_propensities[:, 0] * input.q_values[:, 0], axis=1)
+        v = np.sum(input.tgt_propensities * input.q_values, axis=2)  # [N, T]
+        est = np.sum(v * input.mask * input.discounts(), axis=1)
         return EstimatorResult(
             log_reward=input.log_value(),
-            estimated_reward=float(np.mean(v0)),
+            estimated_reward=float(np.mean(est)),
             ground_truth_reward=input.ground_truth_reward,
         )
 

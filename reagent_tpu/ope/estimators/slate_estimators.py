@@ -54,6 +54,97 @@ class SlateEstimatorInput:
         n, k = self.log_slate.shape
         return probs[np.arange(n)[:, None], np.arange(k)[None, :], self.log_slate]
 
+    def slate_prob_chain(self, probs: np.ndarray) -> np.ndarray:
+        """[N] probability of each logged slate under sequential
+        without-replacement sampling: prod_k p_k(i_k) / (1 - sum_{j<k}
+        p_k(i_j)), renormalizing by the CURRENT slot's mass of the items
+        already placed — exactly the reference's
+        SlateSlotItemProbabilities.slate_probability
+        (slate_estimators.py:560-588); ~0 remaining mass -> probability 0."""
+        n, k = self.log_slate.shape
+        p = _normalize_rows(probs)
+        sp = self.slot_probs(p)  # [N, K] p_k(i_k)
+        out = np.ones(n)
+        used_mass = np.zeros(n)
+        dead = np.zeros(n, dtype=bool)
+        for j in range(k):
+            w = 1.0 - used_mass
+            dead |= np.abs(w) < 1.0e-10
+            out = np.where(dead, 0.0, out * sp[:, j] / np.where(dead, 1.0, w))
+            if j + 1 < k:
+                # mass of items placed so far, under slot j+1's distribution
+                placed = self.log_slate[:, : j + 1]
+                nxt = p[np.arange(n)[:, None], j + 1, placed]
+                used_mass = nxt.sum(axis=1)
+        return out
+
+    def slot_item_expectations(self, probs: np.ndarray) -> np.ndarray:
+        """[N, K, M] without-replacement marginal P(item m lands in slot k),
+        by the reference's exact DP (slate_estimators.py:336-370
+        _calculate_slot_expectation), mirrored bug-for-bug: stage k extends
+        prior placements using slot k's OWN distribution."""
+        return np.stack([_slot_expectation_dp(_normalize_rows(p)) for p in probs])
+
+
+def _normalize_rows(probs: np.ndarray) -> np.ndarray:
+    """clamp(min=0)/sum per distribution row (reference types.py:333-348)."""
+    p = np.clip(np.asarray(probs, np.float64), 0.0, None)
+    return p / p.sum(axis=-1, keepdims=True)
+
+
+def _slot_expectation_dp(p: np.ndarray) -> np.ndarray:
+    """[K, M] normalized per-slot distributions -> [K, M] marginal slot-item
+    expectations under sequential without-replacement sampling (reference
+    _calculate_slot_expectation, slate_estimators.py:336-370)."""
+    K, M = p.shape
+    dm = np.zeros((K, M))
+    dm[0] = p[0]
+    # (placed-items set, cumulative prob, placed mass, cached prob/(1-mass))
+    buffer = [(frozenset(), 1.0, 0.0, 1.0)]
+    for k in range(1, K):
+        row = p[k]
+        next_buffer = []
+        for b0, b1, b2, _ in buffer:
+            for i in range(M):
+                if i in b0:
+                    continue
+                nb2 = b2 + row[i]
+                if nb2 < 1.0:
+                    nb1 = b1 * row[i] / (1.0 - b2)
+                    next_buffer.append((b0 | {i}, nb1, nb2, nb1 / (1.0 - nb2)))
+        for i in range(M):
+            dm[k, i] = row[i] * sum(
+                b3 for b0, _, _, b3 in next_buffer if i not in b0
+            )
+        buffer = next_buffer
+    return dm
+
+
+def _weighted_result(
+    input: SlateEstimatorInput,
+    weights: np.ndarray,
+    valid: np.ndarray,
+    weighted: bool,
+) -> EstimatorResult:
+    """Reference slate-estimator accumulation (slate_estimators.py:1238-1280):
+    invalid samples are skipped entirely; ``weighted`` -> SNIPS
+    (sum(r*w)/sum(w)), else the plain mean of r*w over valid samples."""
+    r = np.asarray(input.log_reward, np.float64)[valid]
+    w = np.asarray(weights, np.float64)[valid]
+    if len(r) == 0:
+        return EstimatorResult(log_reward=0.0, estimated_reward=0.0)
+    est = r * w
+    estimated = (
+        float(np.sum(est) / np.sum(w)) if weighted else float(np.mean(est))
+    )
+    return EstimatorResult(
+        log_reward=float(np.mean(r)),
+        estimated_reward=estimated,
+        ground_truth_reward=input.ground_truth_reward,
+        estimated_weight=float(np.mean(w)) if weighted else float(len(r)),
+        estimated_reward_std_error=float(np.std(est) / np.sqrt(len(est))),
+    )
+
 
 def _res(input: SlateEstimatorInput, est: np.ndarray) -> EstimatorResult:
     return EstimatorResult(
@@ -81,11 +172,39 @@ class DMEstimator(Estimator):
 class IPSEstimator(Estimator):
     """Whole-slate IS: prod_k tgt/log of logged items (reference slate IPS)."""
 
-    def __init__(self, clamp_max: Optional[float] = None, self_normalize: bool = False):
+    def __init__(
+        self,
+        clamp_max: Optional[float] = None,
+        self_normalize: bool = False,
+        chain_prob: bool = False,
+        weighted: bool = False,
+    ):
+        """``chain_prob`` + ``weighted`` reproduce the reference IPSEstimator
+        (slate_estimators.py:1186-1250): without-replacement slate
+        probabilities, log-prob<=0 samples skipped, SNIPS normalization.
+        The defaults keep the fast independent-slot product."""
         self.clamp_max = clamp_max
         self.self_normalize = self_normalize
+        self.chain_prob = chain_prob
+        self.weighted = weighted
 
     def evaluate(self, input: SlateEstimatorInput, **kwargs) -> EstimatorResult:
+        if self.chain_prob:
+            if input.log_slate_prob is not None and input.tgt_slate_prob is not None:
+                log_p = np.asarray(input.log_slate_prob, np.float64)
+                tgt_p = np.asarray(input.tgt_slate_prob, np.float64)
+            else:
+                log_p = input.slate_prob_chain(input.log_item_probs)
+                tgt_p = input.slate_prob_chain(input.tgt_item_probs)
+            w = np.where(
+                tgt_p == log_p,
+                1.0,
+                np.where(tgt_p <= 0.0, 0.0, tgt_p / np.where(log_p <= 0, 1.0, log_p)),
+            )
+            if self.clamp_max is not None:
+                w = np.minimum(w, self.clamp_max)
+            valid = (tgt_p == log_p) | (tgt_p <= 0.0) | (log_p > 0.0)
+            return _weighted_result(input, w, valid, self.weighted)
         if input.log_slate_prob is not None and input.tgt_slate_prob is not None:
             w = input.tgt_slate_prob / np.maximum(input.log_slate_prob, 1e-12)
         else:
@@ -107,8 +226,20 @@ class PBMEstimator(Estimator):
     (reference PBMEstimator; uses examination weights).
     """
 
-    def __init__(self, clamp_max: Optional[float] = None):
+    def __init__(
+        self,
+        clamp_max: Optional[float] = None,
+        use_expectations: bool = False,
+        weighted: bool = False,
+    ):
+        """``use_expectations`` + ``weighted`` reproduce the reference
+        PBMEstimator (slate_estimators.py:1452-1530): a single per-slate
+        weight (sum_k w_k h_k)/(sum_k w_k p_k) over without-replacement
+        slot-item expectations, SNIPS-normalized.  The defaults keep the fast
+        per-slot independent ratio."""
         self.clamp_max = clamp_max
+        self.use_expectations = use_expectations
+        self.weighted = weighted
 
     def evaluate(self, input: SlateEstimatorInput, **kwargs) -> EstimatorResult:
         k = input.slots
@@ -117,6 +248,18 @@ class PBMEstimator(Estimator):
             if input.position_weights is not None
             else np.ones(k)
         )
+        if self.use_expectations:
+            h = input.slot_probs(input.slot_item_expectations(input.tgt_item_probs))
+            p = input.slot_probs(input.slot_item_expectations(input.log_item_probs))
+            nu = h @ pos_w
+            de = p @ pos_w
+            w = np.where(
+                nu == de, 1.0, np.where(nu == 0, 0.0, nu / np.where(de == 0, 1.0, de))
+            )
+            if self.clamp_max is not None:
+                w = np.minimum(w, self.clamp_max)
+            valid = (nu == de) | (nu == 0) | (de != 0)
+            return _weighted_result(input, w, valid, self.weighted)
         ratio = input.slot_probs(input.tgt_item_probs) / np.maximum(
             input.slot_probs(input.log_item_probs), 1e-12
         )
@@ -132,13 +275,50 @@ class PseudoInverseEstimator(Estimator):
     """Slot-decomposed IS (pseudo-inverse, Swaminathan et al. 2017): the
     per-slot ratio sum replaces the exploding product."""
 
+    def __init__(
+        self,
+        clamp_max: Optional[float] = None,
+        reference_pinv: bool = False,
+        weighted: bool = False,
+    ):
+        """``reference_pinv`` + ``weighted`` reproduce the reference
+        PseudoInverseEstimator (slate_estimators.py:1356-1446): weight =
+        tgt_expectᵀ · pinv(log_expect log_expectᵀ) · onehot(logged slate)
+        over without-replacement slot-item expectations (a rank-1 pinv),
+        SNIPS-normalized.  The default is the closed-form
+        sum-of-ratios − (K−1) estimator."""
+        self.clamp_max = clamp_max
+        self.reference_pinv = reference_pinv
+        self.weighted = weighted
+
     def evaluate(self, input: SlateEstimatorInput, **kwargs) -> EstimatorResult:
         k = input.slots
+        if self.reference_pinv:
+            n = input.n
+            m = input.log_item_probs.shape[2]
+            log_e = input.slot_item_expectations(input.log_item_probs)
+            tgt_e = input.slot_item_expectations(input.tgt_item_probs)
+            ones = np.zeros((n, k, m))
+            ones[
+                np.arange(n)[:, None], np.arange(k)[None, :], input.log_slate
+            ] = 1.0
+            w = np.empty(n)
+            for i in range(n):
+                q = log_e[i].reshape(-1)
+                gamma = np.linalg.pinv(np.outer(q, q))
+                w[i] = float(
+                    tgt_e[i].reshape(1, -1) @ gamma @ ones[i].reshape(-1, 1)
+                )
+            if self.clamp_max is not None:
+                w = np.minimum(w, self.clamp_max)
+            return _weighted_result(input, w, np.ones(n, dtype=bool), self.weighted)
         ratio = input.slot_probs(input.tgt_item_probs) / np.maximum(
             input.slot_probs(input.log_item_probs), 1e-12
         )
-        est = (np.sum(ratio, axis=1) - (k - 1)) * input.log_reward
-        return _res(input, est)
+        w = np.sum(ratio, axis=1) - (k - 1)
+        if self.clamp_max is not None:
+            w = np.minimum(w, self.clamp_max)
+        return _res(input, w * input.log_reward)
 
 
 # --------------------------------------------------------------------------

@@ -122,7 +122,7 @@ def evaluate_cartpole(
         mask=logs["mask"],
         q_values=q_all,
         ground_truth_reward=gt,
-    )
+    ).with_absorbing_padding()
     results = {
         "ips": IPSEstimator().evaluate(einput),
         "dr": DoublyRobustEstimator().evaluate(einput),

@@ -100,6 +100,8 @@ def generate_logs(
                 # Q under the target policy from DP: r + gamma * V(next)
                 (_, ns, rr, done), = world.transition(s, aa)
                 q_values[i, t, aa] = rr + (0.0 if done else gamma * value_fn.state_value(ns))
+    # absorbing-state padding keeps terminated episodes in the per-step
+    # weight denominators (see RLEstimatorInput.with_absorbing_padding)
     return RLEstimatorInput(
         gamma=gamma,
         actions=actions,
@@ -109,4 +111,4 @@ def generate_logs(
         mask=mask,
         q_values=q_values,
         states=state_feats,
-    )
+    ).with_absorbing_padding()

