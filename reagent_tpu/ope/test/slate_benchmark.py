@@ -54,6 +54,51 @@ class QueryCorpus:
     def from_arrays(cls, relevances, features=None) -> "QueryCorpus":
         return cls(np.asarray(relevances), features)
 
+    @classmethod
+    def from_mslr(
+        cls, path: str, num_docs: Optional[int] = None
+    ) -> "QueryCorpus":
+        """Parse an MSLR-WEB10K/30K-format file into a QueryCorpus.
+
+        Line format (reference mslr_slate.py:106-150):
+            <relevance> qid:<qid> 1:<v1> 2:<v2> ... <D>:<vD>
+        with graded relevance 0..4 and consecutive lines grouped by qid.
+        Queries are truncated/padded to a common document count (``num_docs``
+        or the minimum query length); padding docs carry relevance 0 and zero
+        features so they never help a ranker.
+        """
+        by_qid: Dict[int, list] = {}
+        order: list = []
+        with open(path) as f:
+            for line in f:
+                tokens = line.strip().split()
+                if not tokens:
+                    continue
+                rel = float(tokens[0])
+                qid = int(tokens[1].split(":")[1])
+                feats = np.zeros(len(tokens) - 2)
+                for i, tok in enumerate(tokens[2:]):
+                    idx, val = tok.split(":")
+                    feats[int(idx) - 1] = float(val)
+                if qid not in by_qid:
+                    by_qid[qid] = []
+                    order.append(qid)
+                by_qid[qid].append((rel, feats))
+        if not order:
+            raise ValueError(f"no MSLR rows in {path}")
+        dim = len(by_qid[order[0]][0][1])
+        if num_docs is None:
+            num_docs = min(len(v) for v in by_qid.values())
+        Q = len(order)
+        relevances = np.zeros((Q, num_docs))
+        features = np.zeros((Q, num_docs, dim))
+        for i, qid in enumerate(order):
+            docs = by_qid[qid][:num_docs]
+            for j, (rel, feats) in enumerate(docs):
+                relevances[i, j] = rel
+                features[i, j] = feats
+        return cls(relevances=relevances, features=features)
+
     @property
     def num_queries(self):
         return self.relevances.shape[0]

@@ -221,6 +221,61 @@ def generate_client_logs(
     return logs
 
 
+def parse_yandex_log(path: str) -> List[LoggedQuery]:
+    """Parse a Yandex personalized-web-search click log into LoggedQuery rows.
+
+    Line formats (reference yandex_web_search.py:230-292):
+      session metadata:  ``SessionID M Day UserID``
+      query action:      ``SessionID TimePassed Q SERPID QueryID
+                           Term1,Term2,... URL,Domain URL,Domain ...``
+      click action:      ``SessionID TimePassed C SERPID URLID``
+    A click's dwell time is the gap to the session's next action; the last
+    click of a session gets dwell 10000 (long enough to grade as highly
+    relevant), exactly as the reference does.
+    """
+    queries: List[LoggedQuery] = []
+    curr_serps: Dict[int, LoggedQuery] = {}
+    curr_session = None
+    curr_user = -1
+    last_click = None  # (serp_id, url_id, time)
+
+    def resolve_click(t: Optional[int]) -> None:
+        nonlocal last_click
+        if last_click is None:
+            return
+        serp_id, url_id, click_time = last_click
+        q = curr_serps.get(serp_id)
+        if q is not None:
+            q.click(url_id, 10000 if t is None else t - click_time)
+        last_click = None
+
+    with open(path) as f:
+        for line in f:
+            tokens = line.strip().split()
+            if len(tokens) == 4 and tokens[1] == "M":
+                resolve_click(None)
+                queries.extend(curr_serps.values())
+                curr_serps = {}
+                curr_session = int(tokens[0])
+                curr_user = int(tokens[3])
+            elif len(tokens) > 4 and curr_session == int(tokens[0]):
+                t = int(tokens[1])
+                resolve_click(t)
+                if tokens[2] == "Q":
+                    serp_id = int(tokens[3])
+                    query_id = int(tokens[4])
+                    terms = tuple(int(s) for s in tokens[5].split(","))
+                    urls = [int(r.split(",")[0]) for r in tokens[6:]]
+                    curr_serps[serp_id] = LoggedQuery(
+                        curr_user, query_id, terms, urls
+                    )
+                elif tokens[2] == "C":
+                    last_click = (int(tokens[3]), int(tokens[4]), t)
+    resolve_click(None)
+    queries.extend(curr_serps.values())
+    return queries
+
+
 def load_logged_queries(
     logs: Iterable[LoggedQuery], min_query_count: int = MIN_QUERY_COUNT
 ) -> List[TrainingQuery]:
@@ -256,6 +311,26 @@ class WebSearchDataset:
             qids[i] = tq.query_id
             for url, rel in tq.url_relevances.items():
                 url_rel[i, url % num_urls_per_query] = rel
+            pos_rel[i] = tq.position_relevances
+        return cls(url_rel, pos_rel, qids)
+
+    @classmethod
+    def from_real_queries(
+        cls, queries: Sequence[TrainingQuery], num_urls_per_query: int
+    ) -> "WebSearchDataset":
+        """Like from_training_queries but for logs with arbitrary url ids
+        (a parsed Yandex dump): each query gets its own url vocabulary in
+        first-seen order, truncated/padded to ``num_urls_per_query``."""
+        Q = len(queries)
+        url_rel = np.zeros((Q, num_urls_per_query))
+        pos_rel = np.zeros((Q, MAX_SLATE_SIZE))
+        qids = np.zeros(Q, np.int64)
+        for i, tq in enumerate(queries):
+            qids[i] = tq.query_id
+            for j, (url, rel) in enumerate(tq.url_relevances.items()):
+                if j >= num_urls_per_query:
+                    break
+                url_rel[i, j] = rel
             pos_rel[i] = tq.position_relevances
         return cls(url_rel, pos_rel, qids)
 
