@@ -24,7 +24,7 @@ class TensorAggregator(Aggregator):
     """Concatenate the batch dimension before aggregating (ref :19-24)."""
 
     def __call__(self, key: str, values) -> None:
-        stacked = np.concatenate([np.asarray(v) for v in values], axis=0)
+        stacked = np.concatenate([np.atleast_1d(np.asarray(v)) for v in values], axis=0)
         self.aggregate(stacked)
 
     def update(self, key: str, value) -> None:  # Observer protocol

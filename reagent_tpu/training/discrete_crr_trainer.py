@@ -192,7 +192,17 @@ class DiscreteCRRTrainer:
                 q2_opt_state=q2_opt_state,
                 step=state.step + 1,
             ),
-            {"q1_loss": q1_loss, "q2_loss": q2_loss, "actor_loss": actor_loss},
+            {
+                "q1_loss": q1_loss,
+                "q2_loss": q2_loss,
+                "actor_loss": actor_loss,
+                # reporter action-histogram arrays (reference
+                # discrete_crr_reporter.py / dqn_trainer.py:311-320)
+                "logged_actions": jnp.argmax(batch.action, axis=1),
+                "logged_rewards": rewards.reshape(-1),
+                "model_values": all_q1,
+                "model_action_idxs": jnp.argmax(all_q1, axis=1),
+            },
         )
 
     def q_values(self, state: CRRTrainerState, obs: Array) -> Array:

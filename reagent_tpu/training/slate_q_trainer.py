@@ -166,5 +166,11 @@ class SlateQTrainer:
                 opt_state=opt_state,
                 step=state.step + 1,
             ),
-            {"td_loss": value_loss, "q_mean": jnp.mean(q_vals)},
+            {
+                "td_loss": value_loss,
+                "q_mean": jnp.mean(q_vals),
+                # reporter recent-window/histogram array (reference
+                # slate_q_reporter.py:35-52 "logged_rewards")
+                "logged_rewards": reward.reshape(-1),
+            },
         )

@@ -13,6 +13,8 @@ import logging
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
+import numpy as np
+
 logger = logging.getLogger(__name__)
 
 
@@ -49,7 +51,11 @@ def train_eval(
             trainer_state, metrics = trainer.train_step(trainer_state, batch)
             if reporter is not None:
                 reporter.log(**{k: v for k, v in metrics.items()})
-        last_metrics = {k: float(v) for k, v in metrics.items()}
+        # scalar summary only — array metrics (action/value histograms)
+        # are for the reporter's aggregators
+        last_metrics = {
+            k: float(np.mean(np.asarray(v))) for k, v in metrics.items()
+        }
         if reporter is not None:
             reporter.flush(epoch)
         if on_epoch_end is not None:
