@@ -104,8 +104,12 @@ def make_slate_q_batch(batch: Dict[str, Array]) -> rlt.SlateQInput:
     ``action`` [B, S] slate indices, ``position_reward`` [B, S] per-position
     reward (watch time), ``response_click`` [B, S] click indicators — plus
     their ``next_*`` counterparts from the buffer.  Unlike the reference we
-    keep the slate un-augmented (no null-action concat): our SlateQTrainer's
-    masked loss handles no-click rows via ``reward_mask`` directly.
+    keep the slate un-augmented (no null-action concat): with
+    ``single_selection=True`` our SlateQTrainer masks no-click positions out
+    of the loss via ``reward_mask``; with ``single_selection=False`` it
+    trains every position against its per-position reward (zero when
+    unclicked), which is the reference's multi-select math — so neither path
+    needs the null-action row.
     """
     B = batch["state"].shape[0]
     terminal = batch["terminal"].reshape(B, 1).astype(jnp.float32)

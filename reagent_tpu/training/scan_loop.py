@@ -9,15 +9,19 @@ training table in device memory and run K train steps as ONE compiled
 program — XLA pipelines the minibatch gathers with the update math and the
 host is touched once per K steps.
 
-Works with any trainer exposing the standard jitted
-``train_step(state, batch) -> (state, metrics)`` (every trainer in
-reagent_tpu/training does).  Semantics are exactly K sequential
-``train_step`` calls — asserted by tests/test_scan_loop.py.
+Works with any trainer exposing the standard jitted two-argument
+``train_step(state, batch) -> (state, metrics)`` — the DQN family,
+actor-critic, slate, reward-network, and world-model trainers.  Trainers with
+different signatures (CEMTrainer, MultiStageTrainer, the cb trainers, and the
+rng-taking Seq2SlateTrainerWithSimulation) are rejected with a clear error.
+Semantics are exactly K sequential ``train_step`` calls — asserted by
+tests/test_scan_loop.py.
 """
 
 from __future__ import annotations
 
 import functools
+import inspect
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -31,6 +35,19 @@ def _raw_train_step(trainer: Any) -> Callable:
     raw = getattr(type(trainer).train_step, "__wrapped__", None)
     if raw is None:
         raw = type(trainer).train_step
+    params = [
+        p
+        for p in inspect.signature(raw).parameters.values()
+        if p.default is inspect.Parameter.empty
+        and p.kind
+        in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    if len(params) != 3:  # self, state, batch
+        raise TypeError(
+            f"{type(trainer).__name__}.train_step has signature "
+            f"{inspect.signature(raw)}; the scan loop needs the standard "
+            "(state, batch) -> (state, metrics) form"
+        )
     return raw
 
 
@@ -75,12 +92,23 @@ def make_sampled_train_fn(
     if num_rows is None:
         num_rows = jax.tree_util.tree_leaves(dataset)[0].shape[0]
 
+    # every array leaf must be per-row ([num_rows, ...]); a stray leaf with a
+    # different leading dim would otherwise be passed whole and fail later
+    # with an opaque trace-time shape error inside the trainer
+    bad = [
+        (i, x.shape)
+        for i, x in enumerate(jax.tree_util.tree_leaves(dataset))
+        if hasattr(x, "shape") and (x.ndim < 1 or x.shape[0] != num_rows)
+    ]
+    if bad:
+        raise ValueError(
+            f"dataset leaves {bad} do not have leading dim num_rows={num_rows}; "
+            "every array leaf must be stacked per-row for minibatch gathering"
+        )
+
     def gather(idx):
         return jax.tree_util.tree_map(
-            lambda x: x[idx]
-            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == num_rows
-            else x,
-            dataset,
+            lambda x: x[idx] if hasattr(x, "shape") else x, dataset
         )
 
     @functools.partial(jax.jit, donate_argnums=0)

@@ -79,3 +79,28 @@ def test_sampled_matches_manual_gather():
     for a, b in zip(jax.tree_util.tree_leaves(ts_manual.q_params),
                     jax.tree_util.tree_leaves(ts2.q_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_sampled_rejects_mismatched_leaf():
+    """A dataset leaf whose leading dim is not num_rows must fail fast with a
+    clear error, not an opaque trace-time shape error (advisor round-3)."""
+    import pytest
+
+    trainer = _trainer()
+    dataset = _batch(0, B=32)
+    broken = dataset.replace(reward=dataset.reward[:16])
+    with pytest.raises(ValueError, match="leading dim num_rows"):
+        make_sampled_train_fn(trainer, broken, minibatch_size=4, num_steps=2)
+
+
+def test_scan_rejects_nonstandard_train_step_signature():
+    """Trainers whose train_step is not (state, batch) are rejected up front
+    (advisor round-3: CEM/MultiStage/rng-taking variants)."""
+    import pytest
+
+    class OddTrainer:
+        def train_step(self, state, batch, rng):
+            return state, {}
+
+    with pytest.raises(TypeError, match="standard"):
+        make_scanned_train_fn(OddTrainer())

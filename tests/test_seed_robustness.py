@@ -142,3 +142,37 @@ def test_sac_pendulum_seed_sweep():
     passes = sum(sc >= -500.0 for sc in scores)
     print(f"SAC Pendulum seed sweep: {scores} -> {passes}/{len(SEEDS)} pass bar -500")
     assert passes >= MIN_PASSES, scores
+
+
+@pytest.mark.nightly
+@pytest.mark.slow
+def test_slateq_recsim_seed_sweep():
+    """The flakiest absolute bar (RecSim 154) across 3 seeds, base variant."""
+    from test_slateq_recsim import PASSING_SCORE_BAR, _train_and_eval
+
+    scores = [
+        _train_and_eval(
+            {"rl": RLParameters(gamma=0.9, target_update_rate=0.1)},
+            single_selection=True,
+            seed=s,
+        )
+        for s in SEEDS
+    ]
+    passes = sum(sc >= PASSING_SCORE_BAR for sc in scores)
+    print(
+        f"SlateQ RecSim seed sweep: {scores} -> {passes}/{len(SEEDS)} "
+        f"pass bar {PASSING_SCORE_BAR}"
+    )
+    assert passes >= MIN_PASSES, scores
+
+
+@pytest.mark.nightly
+@pytest.mark.slow
+def test_cem_cartpole_seed_sweep():
+    """CEM CartPole offline bar 100 across 3 data/training seeds."""
+    from test_world_models import cem_cartpole_return
+
+    scores = [cem_cartpole_return(s) for s in SEEDS]
+    passes = sum(sc >= 100.0 for sc in scores)
+    print(f"CEM CartPole seed sweep: {scores} -> {passes}/{len(SEEDS)} pass bar 100")
+    assert passes >= MIN_PASSES, scores

@@ -299,3 +299,45 @@ def test_recsim_interest_exploration_mode():
     assert i == env.max_steps - 1  # unit step cost: episode runs to max_steps
     with pytest.raises(NotImplementedError):
         RecSimInterestEvolution(is_interest_exploration=True, single_selection=False)
+
+
+def test_recsim_dynamics_statistics_pinned():
+    """Regression-pin the environment dynamics under the random policy.
+
+    The absolute 154 bar depends on the CALIBRATED constants in
+    gym/envs/recsim.py:52-57 (TIME_BUDGET/CHOICE_TEMPERATURE/INTEREST_ALPHA/
+    ENGAGEMENT_FLOOR); any edit that silently re-tunes the environment moves
+    these statistics well outside the pinned bands and must be re-justified
+    against the bar.
+    """
+    env = RecSimInterestEvolution()
+
+    def episode(r):
+        st, obs = env.reset(r)
+
+        def step(carry, rr):
+            st, done = carry
+            rr_a, rr_s = jax.random.split(rr)
+            slate = jax.random.choice(rr_a, NUM_CAND, (SLATE,), replace=False)
+            nst, nobs, rew, nd = env.step(st, slate, rr_s)
+            rew = jnp.where(done, 0.0, rew)
+            alive = jnp.logical_not(done)
+            return (nst, jnp.logical_or(done, nd)), (rew, alive)
+
+        (_, _), (rews, alive) = jax.lax.scan(
+            step, (st, jnp.asarray(False)), jax.random.split(r, env.max_steps)
+        )
+        return rews, alive
+
+    rews, alive = jax.jit(jax.vmap(episode))(
+        jax.random.split(jax.random.PRNGKey(0), 200)
+    )
+    rews, alive = np.asarray(rews), np.asarray(alive)
+    clicks = rews > 0
+
+    # measured under the test config (cpu, threefry_partitionable) at the
+    # calibration point the 154 bar was validated against
+    assert alive.sum(1).mean() == pytest.approx(50.0, abs=0.5)
+    assert clicks.sum() / alive.sum() == pytest.approx(0.7433, rel=0.02)
+    assert rews[clicks].mean() == pytest.approx(3.451, rel=0.02)
+    assert rews.sum(1).mean() == pytest.approx(128.26, rel=0.03)

@@ -297,8 +297,7 @@ def test_cem_linear_dynamics_offline_e2e(num_world_models):
     assert mean_ret >= -2.5
 
 
-@pytest.mark.slow
-def test_cem_cartpole_offline_reaches_bar():
+def cem_cartpole_return(seed: int = 0) -> float:
     """CEM planning on CartPole beats the 100 bar
     (reference gym/tests/configs/world_model/cem_cartpole_offline.yaml:
     horizon 10, 1 world model, pop 100, iters 10, elites 15, gamma 1.0,
@@ -318,7 +317,7 @@ def test_cem_cartpole_offline_reaches_bar():
 
     env = CartPole(max_steps=200)
     S_, A_ = env.observation_dim, env.action_dim
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
 
     # offline corpus: 200k one-step random-policy transitions with auto-reset
     T, B = 200, 1000
@@ -365,7 +364,7 @@ def test_cem_cartpole_offline_reaches_bar():
             reward=rew[idx][None], not_terminal=nt[idx][None],
             time_diff=None, step=None)
 
-    r0 = jax.random.PRNGKey(1)
+    r0 = jax.random.PRNGKey(seed + 1)
     ts = trainer.init(r0, make_batch(jnp.arange(MB)))
     for _ in range(1000):
         r0, rs = jax.random.split(r0)
@@ -397,4 +396,9 @@ def test_cem_cartpole_offline_reaches_bar():
         returns.append(total)
     mean_ret = float(np.mean(returns))
     print(f"CEM CartPole eval: {returns} mean {mean_ret} (bar 100)")
-    assert mean_ret >= 100.0
+    return mean_ret
+
+
+@pytest.mark.slow
+def test_cem_cartpole_offline_reaches_bar():
+    assert cem_cartpole_return(0) >= 100.0
