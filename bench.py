@@ -18,13 +18,59 @@ Workloads:
    B=256, src/tgt len 20, dim_model 256. Baseline: the reference's own
    Seq2SlateTransformerNet (imported from /root/reference, torch CPU) driven
    through the same loss and optimizer.
+4. seq2slate_bf16_large — the same training step at production scale
+   (B=1024, dim_model 512, dim_feedforward 2048, bf16 matmuls): the
+   MXU-bound variant whose honest figure of merit is MFU, not a host-CPU
+   ratio (no torch baseline at this scale).
+5. offline_dqn_bf16 — workload 2 with bf16 matmul compute (one flag on
+   FullyConnectedDQN): quantifies what mixed precision buys the flagship
+   offline path.
 
-vs_baseline = ours / theirs in every case.
+vs_baseline = ours / theirs where a baseline exists.  Every metric reports
+mfu_pct = achieved model FLOP/s over the chip's assumed bf16 peak (XLA
+compiled-executable cost analysis; f32 workloads are reported against the
+same bf16 peak, which understates their utilization of the slower f32 path —
+stated rather than hidden).
 """
 
 import json
 import os
 import time
+
+# assumed dense peak (bf16) by device kind; fallback covers unknown kinds
+_PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e public spec, bf16 dense
+    "TPU v5": 459.0,       # v5p
+    "TPU v4": 275.0,
+}
+
+
+def device_info():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_BF16_TFLOPS.get(kind)
+    if peak is None:
+        peak = next(
+            (v for k, v in _PEAK_BF16_TFLOPS.items() if k in kind), 197.0
+        )
+    return {"device_kind": kind, "assumed_peak_bf16_tflops": peak}
+
+
+def _compiled_flops(compiled) -> float | None:
+    """Model FLOPs of one executable call, from XLA's cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if ca:
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return None
+
+
+def _mfu(tflops: float | None, peak: float) -> float | None:
+    return round(100.0 * tflops / peak, 2) if tflops else None
 
 
 def bench_reference_torch_cpu(num_steps: int = 300) -> float:
@@ -192,13 +238,14 @@ _OFF_ROWS = 100_000   # device-resident training-table rows
 _OFF_SCAN = 200       # train steps per compiled scan call
 
 
-def prep_offline_dqn_tpu():
+def prep_offline_dqn_tpu(dtype_name: str = "float32"):
     """Double-Q DQN train steps/s at batch 4096 (prep -> closure).
 
     The TPU loop is the production shape (training/scan_loop.py): the
     preprocessed 100k-row table lives in HBM and each compiled call runs 200
     train steps, each on a freshly sampled minibatch — the reference's
     dataloader epoch without the per-step host round trip.
+    ``dtype_name``: matmul compute dtype ("float32" or "bfloat16").
     """
     import numpy as np
 
@@ -215,6 +262,7 @@ def prep_offline_dqn_tpu():
     q_net = FullyConnectedDQN(
         state_dim=S, action_dim=A, sizes=_OFF_SIZES,
         activations=["leaky_relu"] * len(_OFF_SIZES),
+        compute_dtype=getattr(jnp, dtype_name),
     )
     trainer = DQNTrainer(
         q_network=q_net,
@@ -243,23 +291,29 @@ def prep_offline_dqn_tpu():
     )
     run = make_sampled_train_fn(trainer, dataset, minibatch_size=B,
                                 num_steps=_OFF_SCAN)
-    ts, m = run(ts, jax.random.PRNGKey(1))  # compile
+    compiled = run.lower(ts, jax.random.PRNGKey(1)).compile()
+    flops_per_step = _compiled_flops(compiled)
+    if flops_per_step:
+        flops_per_step /= _OFF_SCAN
+    ts, m = compiled(ts, jax.random.PRNGKey(1))  # warm
     float(jnp.asarray(m["td_loss"])[-1])  # value fetch = true barrier
 
-    def timed() -> float:
+    def timed():
         nonlocal ts, m
         times = []
         for k in (2, 3, 4):
             t0 = time.perf_counter()
-            ts, m = run(ts, jax.random.PRNGKey(k))
+            ts, m = compiled(ts, jax.random.PRNGKey(k))
             float(jnp.asarray(m["td_loss"])[-1])
             times.append(time.perf_counter() - t0)
-        return _OFF_SCAN / sorted(times)[1]
+        sps = _OFF_SCAN / sorted(times)[1]
+        tflops = (flops_per_step * sps / 1e12) if flops_per_step else None
+        return sps, tflops
 
     return timed
 
 
-def bench_offline_dqn_tpu() -> float:
+def bench_offline_dqn_tpu():
     return prep_offline_dqn_tpu()()
 
 
@@ -325,14 +379,24 @@ _S2S = dict(state_dim=128, candidate_dim=128, num_stacked_layers=2,
             max_src_seq_len=20, max_tgt_seq_len=20)
 _S2S_B = 256
 
+# MXU-bound variant: 4x the model width, 4x the batch, bf16 matmuls.  At
+# dim 256 / B 256 the step is HBM-bandwidth-bound and bf16 buys ~9%; the
+# production-scale shapes below put the FLOPs where the MXU can eat them.
+_S2S_LARGE = dict(state_dim=128, candidate_dim=128, num_stacked_layers=2,
+                  num_heads=8, dim_model=512, dim_feedforward=2048,
+                  max_src_seq_len=20, max_tgt_seq_len=20)
+_S2S_LARGE_B = 1024
 
-def _s2s_batch_arrays(seed: int = 0):
+
+def _s2s_batch_arrays(seed: int = 0, cfg=None, batch_size=None):
     """Shared numpy batch so both sides train on the same data."""
     import numpy as np
 
+    cfg = cfg or _S2S
     g = np.random.default_rng(seed)
-    B, S, T = _S2S_B, _S2S["max_src_seq_len"], _S2S["max_tgt_seq_len"]
-    SD, CD = _S2S["state_dim"], _S2S["candidate_dim"]
+    B = batch_size or _S2S_B
+    S, T = cfg["max_src_seq_len"], cfg["max_tgt_seq_len"]
+    SD, CD = cfg["state_dim"], cfg["candidate_dim"]
     state = g.normal(size=(B, SD)).astype(np.float32)
     src = g.normal(size=(B, S, CD)).astype(np.float32)
     # logged slate = a random permutation of the first T candidates (+2 offset)
@@ -345,7 +409,9 @@ def _s2s_batch_arrays(seed: int = 0):
     return state, src, tgt_in, tgt_out, tgt_in_seq, probs, reward
 
 
-def prep_seq2slate_tpu(num_steps: int = 40):
+def prep_seq2slate_tpu(
+    num_steps: int = 40, cfg=None, batch_size=None, dtype_name: str = "float32"
+):
     """-> closure -> (train steps/s, achieved TFLOP/s or None)."""
     import jax
     import jax.numpy as jnp
@@ -355,7 +421,10 @@ def prep_seq2slate_tpu(num_steps: int = 40):
     from reagent_tpu.models.seq2slate import Seq2SlateTransformerModel
     from reagent_tpu.training.ranking import Seq2SlateTrainer
 
-    state, src, tgt_in, tgt_out, tgt_in_seq, probs, reward = _s2s_batch_arrays()
+    cfg = cfg or _S2S
+    state, src, tgt_in, tgt_out, tgt_in_seq, probs, reward = _s2s_batch_arrays(
+        cfg=cfg, batch_size=batch_size
+    )
     batch = rlt.PreprocessedRankingInput(
         state=rlt.FeatureData(float_features=jnp.asarray(state)),
         src_seq=rlt.FeatureData(float_features=jnp.asarray(src)),
@@ -368,7 +437,9 @@ def prep_seq2slate_tpu(num_steps: int = 40):
     from reagent_tpu.models.seq2slate import Seq2SlateOutputArch
 
     model = Seq2SlateTransformerModel(
-        **_S2S, output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE
+        **cfg,
+        output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE,
+        compute_dtype=getattr(jnp, dtype_name),
     )
     trainer = Seq2SlateTrainer(
         model,
@@ -382,14 +453,7 @@ def prep_seq2slate_tpu(num_steps: int = 40):
     # AOT-compile once; reuse the executable for cost analysis AND timing
     step_fn = jax.jit(lambda s, b: trainer.train_step(s, b))
     compiled = step_fn.lower(ts, batch).compile()
-    flops_per_step = None
-    try:
-        ca = compiled.cost_analysis()
-        if ca:
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops_per_step = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    flops_per_step = _compiled_flops(compiled)
 
     ts, m = compiled(ts, batch)  # warm
     key = next(iter(m))
@@ -506,17 +570,27 @@ def main():
     except Exception:
         base["s2s"] = None
 
-    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+    dev = device_info()
+    peak = dev["assumed_peak_bf16_tflops"]
+
+    with cf.ThreadPoolExecutor(max_workers=5) as ex:
         f_online = ex.submit(prep_online_dqn_tpu)
         f_off = ex.submit(prep_offline_dqn_tpu)
+        f_off16 = ex.submit(prep_offline_dqn_tpu, "bfloat16")
         f_s2s = ex.submit(prep_seq2slate_tpu)
-        timed_online, timed_off, timed_s2s = (
-            f_online.result(), f_off.result(), f_s2s.result()
+        f_s2s16 = ex.submit(
+            prep_seq2slate_tpu, 40, _S2S_LARGE, _S2S_LARGE_B, "bfloat16"
+        )
+        timed_online, timed_off, timed_off16, timed_s2s, timed_s2s16 = (
+            f_online.result(), f_off.result(), f_off16.result(),
+            f_s2s.result(), f_s2s16.result(),
         )
 
     ours_online = timed_online()
-    ours_off = timed_off()
-    ours_s2s, tflops = timed_s2s()
+    ours_off, off_tflops = timed_off()
+    ours_off16, off16_tflops = timed_off16()
+    ours_s2s, s2s_tflops = timed_s2s()
+    ours_s2s16, s2s16_tflops = timed_s2s16()
 
     metrics = [
         {
@@ -525,30 +599,60 @@ def main():
             "unit": "steps/s (env step + learner update each)",
             "vs_baseline": round(ours_online / base["online"], 2)
             if base["online"] else None,
+            "mfu_pct": None,  # fused Pallas kernel: XLA cost analysis n/a;
+                              # latency-bound workload, MFU not the metric
         },
         {
             "metric": "offline_dqn_train_steps_per_s_batch4096",
             "value": round(ours_off, 1),
-            "unit": "train steps/s (double-Q, batch 4096, net 128-512-256-8)",
+            "unit": "train steps/s (double-Q, batch 4096, net 128-512-256-8, f32)",
             "vs_baseline": round(ours_off / base["offline"], 2)
             if base["offline"] else None,
+            "achieved_tflops": round(off_tflops, 3) if off_tflops else None,
+            "mfu_pct": _mfu(off_tflops, peak),
+        },
+        {
+            "metric": "offline_dqn_bf16_train_steps_per_s_batch4096",
+            "value": round(ours_off16, 1),
+            "unit": "train steps/s (same shapes, bf16 matmul compute)",
+            "vs_baseline": round(ours_off16 / base["offline"], 2)
+            if base["offline"] else None,
+            "vs_f32": round(ours_off16 / ours_off, 2),
+            "achieved_tflops": round(off16_tflops, 3) if off16_tflops else None,
+            "mfu_pct": _mfu(off16_tflops, peak),
         },
         {
             "metric": "seq2slate_train_steps_per_s",
             "value": round(ours_s2s, 1),
-            "unit": "train steps/s (B=256, len 20, dim 256; IPS per-seq log-prob)",
+            "unit": "train steps/s (B=256, len 20, dim 256, f32; IPS per-seq log-prob)",
             "vs_baseline": round(ours_s2s / base["s2s"], 2) if base["s2s"] else None,
-            "achieved_tflops": round(tflops, 3) if tflops else None,
+            "achieved_tflops": round(s2s_tflops, 3) if s2s_tflops else None,
+            "mfu_pct": _mfu(s2s_tflops, peak),
+        },
+        {
+            "metric": "seq2slate_bf16_large_train_steps_per_s",
+            "value": round(ours_s2s16, 1),
+            "unit": "train steps/s (B=1024, len 20, dim 512, ff 2048, bf16; "
+                    "MXU-bound shapes — MFU is the figure of merit)",
+            "vs_baseline": None,
+            "achieved_tflops": round(s2s16_tflops, 3) if s2s16_tflops else None,
+            "mfu_pct": _mfu(s2s16_tflops, peak),
         },
     ]
 
     methodology = {
+        **dev,
         "host_cpus": os.cpu_count(),
         "torch_threads": os.cpu_count(),
         "ours": "median of 3 timed runs after compile; device->host value "
                 "fetch as the timing barrier",
         "baselines": "torch CPU all cores; online best-of-3 / offline "
-                     "best-of-2 (guards against transient host load)",
+                     "best-of-2 (guards against transient host load); the "
+                     "bf16-large seq2slate variant has no CPU baseline — "
+                     "its figure of merit is mfu_pct",
+        "mfu": "achieved model TFLOP/s (XLA compiled cost analysis) over "
+               f"the assumed bf16 dense peak ({peak} TFLOP/s); f32 workloads "
+               "are reported against the same bf16 peak",
     }
 
     for mtr in metrics:

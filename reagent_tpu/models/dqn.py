@@ -6,7 +6,7 @@ FloatFeatureFullyConnected emitting one Q-value per action).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -23,6 +23,7 @@ class FullyConnectedDQN(nn.Module):
     dropout_ratio: float = 0.0
     use_layer_norm: bool = False
     use_skip_connections: bool = False
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, state: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -34,6 +35,7 @@ class FullyConnectedDQN(nn.Module):
             dropout_ratio=self.dropout_ratio,
             use_layer_norm=self.use_layer_norm,
             use_skip_connections=self.use_skip_connections,
+            compute_dtype=self.compute_dtype,
         )
         return net(state, training=training)
 

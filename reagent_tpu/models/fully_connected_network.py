@@ -9,7 +9,7 @@ use the reference's gaussian-fill-w-gain init for parity of learning dynamics.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,8 @@ class FullyConnectedNetwork(nn.Module):
     normalize_output: bool = False
     orthogonal_init: bool = False
     use_skip_connections: bool = False
+    # matmul compute dtype (params stay f32); bf16 feeds the MXU directly
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -69,7 +71,7 @@ class FullyConnectedNetwork(nn.Module):
                         key, shape, dtype, g, shape[0]
                     )
                 )(gain)
-            h = nn.Dense(out_dim, kernel_init=kernel_init)(h)
+            h = nn.Dense(out_dim, kernel_init=kernel_init, dtype=self.compute_dtype)(h)
             is_last = i == n_layers - 1
             if self.use_layer_norm and (not is_last or self.normalize_output):
                 h = nn.LayerNorm()(h)
