@@ -234,17 +234,24 @@ class FixedLengthSequences:
 
 
 class SlateView:
-    """[B*slate_size, D] -> [B, slate_size, D] (ref :582)."""
+    """[B*slate_size, D] -> [B, slate_size, D] (ref :582).
+
+    ``slate_size`` may be overridden per call — compositions whose slate size
+    is only known at batch time (variable-length sequences) pass it
+    explicitly instead of mutating transform state.
+    """
 
     def __init__(self, keys: List[str], slate_size: int):
         self.keys = keys
         self.slate_size = slate_size
 
-    def __call__(self, data: Dict) -> Dict:
+    def __call__(self, data: Dict, slate_size: Optional[int] = None) -> Dict:
+        size = self.slate_size if slate_size is None else slate_size
+        assert size > 0, f"slate_size must be known at call time, got {size}"
         for k in self.keys:
             value = np.asarray(data[k])
             _, dim = value.shape
-            data[k] = value.reshape(-1, self.slate_size, dim)
+            data[k] = value.reshape(-1, size, dim)
         return data
 
 
@@ -310,14 +317,15 @@ class FixedLengthSequenceDenseNormalization:
             keys, sequence_id, expected_length=expected_length, to_keys=to_keys
         )
         self.dense_normalization = DenseNormalization(to_keys, normalization_data)
-        # SlateView's slate_size is resolved lazily from FixedLengthSequences
         self.slate_view = SlateView(to_keys, slate_size=-1)
 
     def __call__(self, data: Dict) -> Dict:
         data = self.fixed_length_sequences(data)
         data = self.dense_normalization(data)
-        self.slate_view.slate_size = self.fixed_length_sequences.expected_length
-        return self.slate_view(data)
+        # expected_length may itself have been inferred from the first batch
+        return self.slate_view(
+            data, slate_size=self.fixed_length_sequences.expected_length
+        )
 
 
 class VarLengthSequenceDenseNormalization:
@@ -343,15 +351,16 @@ class VarLengthSequenceDenseNormalization:
             to_keys_item_presence=to_keys_item_presence,
         )
         self.dense_normalization = DenseNormalization(to_keys, normalization_data)
-        # SlateView's slate_size is resolved lazily per batch
         self.slate_view = SlateView(to_keys, slate_size=-1)
 
     def __call__(self, data: Dict) -> Dict:
         data = self.var_length_sequences(data)
         data = self.dense_normalization(data)
-        # assumes max_len is shared across keys (reference :764-766)
-        self.slate_view.slate_size = self.var_length_sequences.max_len
-        return self.slate_view(data)
+        # slate size is a per-batch quantity for jagged input (the batch max,
+        # shared across keys); pass it per call rather than patching state
+        return self.slate_view(
+            data, slate_size=self.var_length_sequences.max_len
+        )
 
 
 class MapIDListFeatures:
