@@ -49,6 +49,45 @@ class EvaluationDataPage:
     # ------------------------------------------------------------ factories
 
     @classmethod
+    def create_from_training_batch(
+        cls, tdb, trainer, trainer_state
+    ) -> "EvaluationDataPage":
+        """Dispatch on the typed batch (reference evaluation_data_page.py:53-88):
+        DiscreteDqnInput -> create_from_tensors_dqn, ParametricDqnInput ->
+        create_from_tensors_parametric_dqn."""
+        extras = getattr(tdb, "extras", None) or rlt.ExtraData()
+        if isinstance(tdb, rlt.DiscreteDqnInput):
+            return cls.create_from_tensors_dqn(
+                trainer,
+                trainer_state,
+                mdp_ids=extras.mdp_id,
+                sequence_numbers=extras.sequence_number,
+                states=tdb.state.float_features,
+                actions=tdb.action,
+                propensities=extras.action_probability,
+                rewards=tdb.reward,
+                possible_actions_mask=tdb.possible_actions_mask,
+                metrics=extras.metrics,
+            )
+        if isinstance(tdb, rlt.ParametricDqnInput):
+            return cls.create_from_tensors_parametric_dqn(
+                trainer,
+                trainer_state,
+                mdp_ids=extras.mdp_id,
+                sequence_numbers=extras.sequence_number,
+                states=tdb.state.float_features,
+                actions=tdb.action.float_features,
+                propensities=extras.action_probability,
+                rewards=tdb.reward,
+                possible_actions_mask=tdb.possible_actions_mask,
+                possible_actions=tdb.possible_actions.float_features,
+                max_num_actions=extras.max_num_actions
+                or tdb.possible_actions_mask.shape[1],
+                metrics=extras.metrics,
+            )
+        raise NotImplementedError(f"training_input type: {type(tdb)}")
+
+    @classmethod
     def create_from_tensors_dqn(
         cls,
         trainer,

@@ -105,6 +105,19 @@ class Seq2SlatePairwiseAttnTrainer:
             roc_auc_score,
         )
 
+        # eval CE loss against the position rewards (reference :85-92)
+        enc = self.seq2slate_net.apply(
+            state.params,
+            Seq2SlateMode.ENCODER_SCORE_MODE.value,
+            batch.state.float_features,
+            batch.src_seq.float_features,
+            tgt_out_idx=batch.tgt_out_idx,
+        )
+        log_pred = jax.nn.log_softmax(enc.encoder_scores, axis=1)
+        target = batch.position_reward
+        safe_log_t = jnp.where(target > 0, jnp.log(jnp.maximum(target, 1e-20)), 0.0)
+        ce_loss = float(jnp.sum(target * (safe_log_t - log_pred)) / target.shape[0])
+
         out = self.seq2slate_net.apply(
             state.params,
             Seq2SlateMode.RANK_MODE.value,
@@ -143,6 +156,7 @@ class Seq2SlatePairwiseAttnTrainer:
             base_ndcgs.append(ndcg_score(t2, b2))
         mean = lambda xs: float(np.mean(xs)) if xs else float("nan")
         return {
+            "eval_cross_entropy_loss": ce_loss,
             "eval_dcg": mean(dcgs),
             "eval_ndcg": mean(ndcgs),
             "eval_mean_ap": mean(maps),

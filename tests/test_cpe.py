@@ -210,3 +210,54 @@ def test_parametric_dqn_edp():
     _, _, dr = DoublyRobustEstimator().estimate(edp)
     assert np.isfinite(dr.raw)
     assert np.isfinite(OPEstimatorAdapter(OpeDR()).estimate(edp).raw)
+
+
+def test_create_from_training_batch_dispatch():
+    """EDP factory dispatch on the typed batch (reference
+    evaluation_data_page.py:53-88)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core import types as rlt
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training import DQNTrainer
+
+    B, S, A = 12, 4, 3
+    rng = np.random.default_rng(0)
+    trainer = DQNTrainer(
+        q_network=FullyConnectedDQN(
+            state_dim=S, action_dim=A, sizes=[8], activations=["relu"]
+        ),
+        rl=RLParameters(gamma=0.9, target_update_rate=0.1),
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, S)))
+    actions = rng.integers(0, A, B)
+    batch = rlt.DiscreteDqnInput(
+        state=rlt.FeatureData(
+            float_features=jnp.asarray(rng.normal(size=(B, S)).astype(np.float32))
+        ),
+        next_state=rlt.FeatureData(
+            float_features=jnp.asarray(rng.normal(size=(B, S)).astype(np.float32))
+        ),
+        action=jnp.asarray(np.eye(A, dtype=np.float32)[actions]),
+        next_action=jnp.asarray(np.eye(A, dtype=np.float32)[rng.integers(0, A, B)]),
+        reward=jnp.asarray(rng.uniform(size=(B, 1)).astype(np.float32)),
+        time_diff=jnp.ones((B, 1)),
+        step=jnp.ones((B, 1), jnp.int32),
+        not_terminal=jnp.ones((B, 1)),
+        possible_actions_mask=jnp.ones((B, A)),
+        possible_next_actions_mask=jnp.ones((B, A)),
+        extras=rlt.ExtraData(
+            mdp_id=jnp.arange(B),
+            sequence_number=jnp.zeros(B, jnp.int32),
+            action_probability=jnp.full((B, 1), 1.0 / A),
+        ),
+    )
+    edp = EvaluationDataPage.create_from_training_batch(batch, trainer, ts)
+    edp.validate()
+    assert edp.model_propensities.shape == (B, A)
+    np.testing.assert_array_equal(np.argmax(edp.action_mask, axis=1), actions)
+
+    with pytest.raises(NotImplementedError):
+        EvaluationDataPage.create_from_training_batch(object(), trainer, ts)

@@ -238,6 +238,7 @@ def test_seq2slate_pairwise_attn_trainer_learns_relevance():
     metrics = trainer.validation_metrics(ts, batch.replace(position_reward=position_reward), jax.random.PRNGKey(2))
     assert metrics["eval_ndcg"] > metrics["eval_base_ndcg"] * 0.9
     assert np.isfinite(metrics["eval_auc"])
+    assert np.isfinite(metrics["eval_cross_entropy_loss"])
 
 
 def test_seq2slate_transformer_net_wrapper_modes():
