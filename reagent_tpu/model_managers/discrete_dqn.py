@@ -111,6 +111,11 @@ class DiscreteDQN(ModelManager):
     def action_names(self) -> List[str]:
         return self._param.actions
 
+    def get_reporter(self):
+        from reagent_tpu.reporting.reporters import DiscreteDQNReporter
+
+        return DiscreteDQNReporter(actions=list(self._param.actions))
+
     def build_trainer(
         self,
         normalization_data_map: Dict[str, NormalizationData],

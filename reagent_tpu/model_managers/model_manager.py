@@ -28,3 +28,8 @@ class ModelManager:
 
     def run_feature_identification(self, df) -> Dict[str, NormalizationData]:
         raise NotImplementedError
+
+    def get_reporter(self):
+        """Per-algorithm reporter for the training loop (reference
+        model_manager.py get_reporter); None = no reporting."""
+        return None

@@ -34,6 +34,11 @@ class SlateQ(ModelManager):
         default_factory=lambda: {"FullyConnected": {}}
     )
 
+    def get_reporter(self):
+        from reagent_tpu.reporting.reporters import SlateQReporter
+
+        return SlateQReporter()
+
     def __post_init__(self):
         assert self.slate_size > 0, f"slate_size is invalid: {self.slate_size}"
         tp = dict(self.trainer_param)

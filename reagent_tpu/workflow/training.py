@@ -156,12 +156,17 @@ def train_workflow(
         trainer_state = restore_checkpoint(warm_start_path, trainer_state)
         logger.info("warm-started trainer state from %s", warm_start_path)
 
+    reporter = manager.get_reporter()
     t0 = time.perf_counter()
     last_loss = None
     for epoch in range(num_epochs):
         for batch_df in iterate_minibatches(train_df, bs, seed=seed + epoch):
             batch = batch_preprocessor(batch_df)
             trainer_state, metrics = trainer.train_step(trainer_state, batch)
+            if reporter is not None:
+                reporter.log(**metrics)
+        if reporter is not None:
+            reporter.flush(epoch)
         loss_key = "td_loss" if "td_loss" in metrics else (
             "q1_loss" if "q1_loss" in metrics else next(iter(metrics))
         )

@@ -103,9 +103,27 @@ def test_dqn_cartpole_offline_e2e(tmp_path):
             "eval_parameters": {"calc_cpe_in_training": True},
         }
     }
-    result = identify_and_train_network(
-        input_table_spec=spec, model=model_config, num_epochs=25, output_dir=out_dir,
+    # the manager's reporter writes TB events (action histograms etc.)
+    from torch.utils.tensorboard import SummaryWriter
+
+    from reagent_tpu.core.tracker import summary_writer_context
+
+    tb_dir = str(tmp_path / "tb")
+    writer = SummaryWriter(log_dir=tb_dir)
+    with summary_writer_context(writer):
+        result = identify_and_train_network(
+            input_table_spec=spec, model=model_config, num_epochs=25, output_dir=out_dir,
+        )
+    writer.close()
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
     )
+
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    scalars = set(acc.Tags()["scalars"])
+    assert {"actions/logged/0", "actions/logged/1"} <= scalars, scalars
+    assert "td_loss" in set(acc.Tags()["histograms"])
     assert "default_model" in result.output_paths
     assert result.training_report.td_loss is not None
     cpe = result.training_report.cpe_details
