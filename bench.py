@@ -25,6 +25,9 @@ Workloads:
 5. offline_dqn_bf16 — workload 2 with bf16 matmul compute (one flag on
    FullyConnectedDQN): quantifies what mixed precision buys the flagship
    offline path.
+6. seq2slate_rank — greedy RANK_MODE inference (autoregressive decode of a
+   20-item slate, B=512): the serving path, in slates/s.  Baseline: the
+   reference model's own _rank on torch CPU.
 
 vs_baseline = ours / theirs where a baseline exists.  Every metric reports
 mfu_pct = achieved model FLOP/s over the chip's assumed bf16 peak (XLA
@@ -482,6 +485,100 @@ def bench_seq2slate_tpu(num_steps: int = 40):
     return prep_seq2slate_tpu(num_steps)()
 
 
+_RANK_B = 512
+
+
+def prep_seq2slate_rank_tpu(num_iters: int = 20):
+    """Greedy RANK_MODE inference — the serving path (autoregressive decode
+    of a 20-item slate).  -> closure -> slates/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.models.seq2slate import (
+        Seq2SlateMode,
+        Seq2SlateOutputArch,
+        Seq2SlateTransformerModel,
+    )
+
+    state, src, *_ = _s2s_batch_arrays(batch_size=_RANK_B)
+    state, src = jnp.asarray(state), jnp.asarray(src)
+    T = _S2S["max_tgt_seq_len"]
+    model = Seq2SlateTransformerModel(
+        **_S2S, output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), Seq2SlateMode.RANK_MODE.value, state, src,
+        tgt_seq_len=T, greedy=True,
+    )
+
+    def rank(p, s, x):
+        return model.apply(
+            p, Seq2SlateMode.RANK_MODE.value, s, x, tgt_seq_len=T, greedy=True
+        ).ranked_tgt_out_idx
+
+    compiled = jax.jit(rank).lower(params, state, src).compile()
+    int(compiled(params, state, src)[0, 0])  # warm + value barrier
+
+    def timed() -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(num_iters):
+                out = compiled(params, state, src)
+            int(out[0, 0])
+            times.append(time.perf_counter() - t0)
+        return _RANK_B * num_iters / sorted(times)[1]
+
+    return timed
+
+
+def bench_seq2slate_rank_reference_cpu(num_iters: int = 2):
+    """The reference Seq2SlateTransformerModel's greedy _rank on torch CPU,
+    same shapes.  Returns slates/s or None."""
+    try:
+        from reagent_tpu.utils.reference_compat import add_reference_to_path
+
+        if not add_reference_to_path():
+            return None
+        import torch
+
+        from reagent.model_utils.seq2slate_utils import (
+            Seq2SlateMode,
+            Seq2SlateOutputArch,
+        )
+        from reagent.models.seq2slate import Seq2SlateTransformerModel as RefModel
+    except Exception:
+        return None
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    state, src, *_ = _s2s_batch_arrays(batch_size=_RANK_B)
+    net = RefModel(
+        state_dim=_S2S["state_dim"],
+        candidate_dim=_S2S["candidate_dim"],
+        num_stacked_layers=_S2S["num_stacked_layers"],
+        num_heads=_S2S["num_heads"],
+        dim_model=_S2S["dim_model"],
+        dim_feedforward=_S2S["dim_feedforward"],
+        max_src_seq_len=_S2S["max_src_seq_len"],
+        max_tgt_seq_len=_S2S["max_tgt_seq_len"],
+        output_arch=Seq2SlateOutputArch.AUTOREGRESSIVE,
+        temperature=1.0,
+    )
+    t_state, t_src = torch.from_numpy(state), torch.from_numpy(src)
+    with torch.no_grad():
+        net(
+            mode=Seq2SlateMode.RANK_MODE.value, state=t_state, src_seq=t_src,
+            tgt_seq_len=_S2S["max_tgt_seq_len"], greedy=True,
+        )  # warm
+        t0 = time.perf_counter()
+        for _ in range(num_iters):
+            net(
+                mode=Seq2SlateMode.RANK_MODE.value, state=t_state, src_seq=t_src,
+                tgt_seq_len=_S2S["max_tgt_seq_len"], greedy=True,
+            )
+    return _RANK_B * num_iters / (time.perf_counter() - t0)
+
+
 def bench_seq2slate_reference_cpu(num_steps: int = 8):
     """The reference's own Seq2SlateTransformerNet, same data/loss/optimizer.
 
@@ -572,11 +669,17 @@ def main():
         base["s2s"] = max(runs) if runs else None
     except Exception:
         base["s2s"] = None
+    try:
+        runs = [bench_seq2slate_rank_reference_cpu() for _ in range(2)]
+        runs = [r for r in runs if r]
+        base["rank"] = max(runs) if runs else None
+    except Exception:
+        base["rank"] = None
 
     dev = device_info()
     peak = dev["assumed_peak_bf16_tflops"]
 
-    with cf.ThreadPoolExecutor(max_workers=5) as ex:
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
         f_online = ex.submit(prep_online_dqn_tpu)
         f_off = ex.submit(prep_offline_dqn_tpu)
         f_off16 = ex.submit(prep_offline_dqn_tpu, "bfloat16")
@@ -584,9 +687,10 @@ def main():
         f_s2s16 = ex.submit(
             prep_seq2slate_tpu, 40, _S2S_LARGE, _S2S_LARGE_B, "bfloat16"
         )
-        timed_online, timed_off, timed_off16, timed_s2s, timed_s2s16 = (
+        f_rank = ex.submit(prep_seq2slate_rank_tpu)
+        timed_online, timed_off, timed_off16, timed_s2s, timed_s2s16, timed_rank = (
             f_online.result(), f_off.result(), f_off16.result(),
-            f_s2s.result(), f_s2s16.result(),
+            f_s2s.result(), f_s2s16.result(), f_rank.result(),
         )
 
     ours_online = timed_online()
@@ -594,6 +698,7 @@ def main():
     ours_off16, off16_tflops = timed_off16()
     ours_s2s, s2s_tflops = timed_s2s()
     ours_s2s16, s2s16_tflops = timed_s2s16()
+    ours_rank = timed_rank()
 
     metrics = [
         {
@@ -631,6 +736,15 @@ def main():
             "vs_baseline": round(ours_s2s / base["s2s"], 2) if base["s2s"] else None,
             "achieved_tflops": round(s2s_tflops, 3) if s2s_tflops else None,
             "mfu_pct": _mfu(s2s_tflops, peak),
+        },
+        {
+            "metric": "seq2slate_rank_slates_per_s",
+            "value": round(ours_rank, 1),
+            "unit": "greedy autoregressive 20-item slates ranked per second "
+                    "(B=512, dim 256 — the serving inference path)",
+            "vs_baseline": round(ours_rank / base["rank"], 2)
+            if base.get("rank") else None,
+            "mfu_pct": None,  # sequential decode: latency-bound by design
         },
         {
             "metric": "seq2slate_bf16_large_train_steps_per_s",
