@@ -96,18 +96,23 @@ class Embedder(nn.Module):
         )(x) * math.sqrt(self.dim_out)
 
 
+def positional_table(T: int, D: int) -> Array:
+    """[T, D] sinusoidal position table (ref seq2slate.py:331-356)."""
+    pos = np.arange(T)[:, None]
+    div = np.exp(np.arange(0, D, 2) * (-math.log(10000.0) / D))
+    pe = np.zeros((T, D), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div[: (D + 1) // 2][: pe[:, 1::2].shape[1]])
+    return jnp.asarray(pe)
+
+
 class PositionalEncoding(nn.Module):
     """Sinusoidal positions added to embeddings (ref seq2slate.py:331-356)."""
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         B, T, D = x.shape
-        pos = np.arange(T)[:, None]
-        div = np.exp(np.arange(0, D, 2) * (-math.log(10000.0) / D))
-        pe = np.zeros((T, D), np.float32)
-        pe[:, 0::2] = np.sin(pos * div)
-        pe[:, 1::2] = np.cos(pos * div[: (D + 1) // 2][: pe[:, 1::2].shape[1]])
-        return x + jnp.asarray(pe)[None]
+        return x + positional_table(T, D)[None]
 
 
 class FeedForward(nn.Module):
@@ -148,30 +153,101 @@ class EncoderLayer(nn.Module):
         return nn.LayerNorm()(x + ff)
 
 
+class CachedSelfAttention(nn.Module):
+    """Multi-head self-attention with an explicit functional KV cache.
+
+    Same math as ``nn.MultiHeadDotProductAttention`` (per-head DenseGeneral
+    projections, query scaled by 1/sqrt(d_h), output DenseGeneral), but the
+    incremental-decode cache is a plain ``(k, v)`` array pair owned by the
+    CALLER and threaded through ``lax.scan`` — no mutable flax collections,
+    so rank-mode ``apply`` keeps its pure signature.
+    """
+
+    dim_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        H = self.num_heads
+        dh = self.dim_model // H
+        init = nn.initializers.xavier_uniform()
+        self.q_proj = nn.DenseGeneral((H, dh), kernel_init=init, dtype=self.dtype)
+        self.k_proj = nn.DenseGeneral((H, dh), kernel_init=init, dtype=self.dtype)
+        self.v_proj = nn.DenseGeneral((H, dh), kernel_init=init, dtype=self.dtype)
+        self.out_proj = nn.DenseGeneral(
+            self.dim_model, axis=(-2, -1), kernel_init=init, dtype=self.dtype
+        )
+
+    def _attend(self, q: Array, k: Array, v: Array, mask: Optional[Array]) -> Array:
+        """q [B,T,H,dh] x k/v [B,L,H,dh] -> [B,T,D]; mask [.., T, L] True=attend."""
+        dh = q.shape[-1]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+        return self.out_proj(ctx)
+
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        """Full self-attention over [B, T, D]; mask [B, T, T] (True = attend)."""
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None]
+        return self._attend(self.q_proj(x), self.k_proj(x), self.v_proj(x), mask)
+
+    def step(self, x1: Array, cache, index) -> tuple:
+        """One decode step: x1 [B, 1, D], cache (k, v) [B, T, H, dh]; attends
+        over cached positions <= index.  Returns ([B, 1, D], new cache)."""
+        k_cache, v_cache = cache
+        q = self.q_proj(x1)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, self.k_proj(x1).astype(k_cache.dtype), index, axis=1
+        )
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, self.v_proj(x1).astype(v_cache.dtype), index, axis=1
+        )
+        T = k_cache.shape[1]
+        mask = (jnp.arange(T) <= index)[None, None, None, :]  # [1, 1, q=1, T]
+        return self._attend(q, k_cache, v_cache, mask), (k_cache, v_cache)
+
+
 class DecoderLayer(nn.Module):
-    """Standard decoder layer: causal self-attn + cross-attn + FF (post-LN)."""
+    """Standard decoder layer: causal self-attn + cross-attn + FF (post-LN).
+
+    ``__call__`` runs the full sequence (training); ``step`` runs one decode
+    position against a caller-owned KV cache (rank-mode inference)."""
 
     dim_model: int
     num_heads: int
     dim_feedforward: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = CachedSelfAttention(
+            self.dim_model, self.num_heads, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm()
+        self.cross_attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim_model,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+        )
+        self.norm2 = nn.LayerNorm()
+        self.ff = FeedForward(self.dim_model, self.dim_feedforward, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm()
+
     def __call__(self, tgt: Array, memory: Array, tgt_tgt_mask: Array, tgt_src_mask: Array) -> Array:
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim_model,
-            kernel_init=nn.initializers.xavier_uniform(),
-            dtype=self.dtype,
-        )(tgt, tgt, mask=tgt_tgt_mask[:, None])
-        tgt = nn.LayerNorm()(tgt + sa)
-        ca = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim_model,
-            kernel_init=nn.initializers.xavier_uniform(),
-            dtype=self.dtype,
-        )(tgt, memory, mask=tgt_src_mask[:, None])
-        tgt = nn.LayerNorm()(tgt + ca)
-        ff = FeedForward(self.dim_model, self.dim_feedforward, dtype=self.dtype)(tgt)
-        return nn.LayerNorm()(tgt + ff)
+        sa = self.self_attn(tgt, mask=tgt_tgt_mask)
+        tgt = self.norm1(tgt + sa)
+        ca = self.cross_attn(tgt, memory, mask=tgt_src_mask[:, None])
+        tgt = self.norm2(tgt + ca)
+        return self.norm3(tgt + self.ff(tgt))
+
+    def step(self, tgt1: Array, memory: Array, src_mask1: Array, cache, index) -> tuple:
+        sa, cache = self.self_attn.step(tgt1, cache, index)
+        tgt1 = self.norm1(tgt1 + sa)
+        ca = self.cross_attn(tgt1, memory, mask=src_mask1[:, None])
+        tgt1 = self.norm2(tgt1 + ca)
+        return self.norm3(tgt1 + self.ff(tgt1)), cache
 
 
 class PointerLastLayer(nn.Module):
@@ -184,28 +260,42 @@ class PointerLastLayer(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, tgt: Array, memory: Array, tgt_tgt_mask: Array, tgt_src_mask: Array) -> Array:
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim_model,
-            kernel_init=nn.initializers.xavier_uniform(),
-            dtype=self.dtype,
-        )(tgt, tgt, mask=tgt_tgt_mask[:, None])
-        tgt = nn.LayerNorm()(tgt + sa)
-        # manual multi-head attention so we can return weights
+    def setup(self):
+        init = nn.initializers.xavier_uniform()
+        self.self_attn = CachedSelfAttention(
+            self.dim_model, self.num_heads, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm()
+        self.q_ptr = nn.Dense(self.dim_model, kernel_init=init, dtype=self.dtype)
+        self.k_ptr = nn.Dense(self.dim_model, kernel_init=init, dtype=self.dtype)
+
+    def _pointer_probs(self, tgt: Array, k: Array, tgt_src_mask: Array) -> Array:
+        """tgt [B, T, D] x projected memory keys k [B, S, D] -> [B, T, S]."""
         H, D = self.num_heads, self.dim_model
         dh = D // H
-        q = nn.Dense(D, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype)(tgt)
-        k = nn.Dense(D, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype)(memory)
+        q = self.q_ptr(tgt)
         B, T, _ = q.shape
-        S = memory.shape[1]
+        S = k.shape[1]
         q = q.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
         # logits/softmax in f32: the pointer probs feed log-prob losses
-        logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / math.sqrt(dh)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, kh).astype(jnp.float32) / math.sqrt(dh)
         logits = jnp.where(tgt_src_mask[:, None], logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.mean(probs, axis=1)  # [B, T, S]
+
+    def memory_keys(self, memory: Array) -> Array:
+        return self.k_ptr(memory)
+
+    def __call__(self, tgt: Array, memory: Array, tgt_tgt_mask: Array, tgt_src_mask: Array) -> Array:
+        sa = self.self_attn(tgt, mask=tgt_tgt_mask)
+        tgt = self.norm1(tgt + sa)
+        return self._pointer_probs(tgt, self.k_ptr(memory), tgt_src_mask)
+
+    def step(self, tgt1: Array, k_mem: Array, src_mask1: Array, cache, index) -> tuple:
+        sa, cache = self.self_attn.step(tgt1, cache, index)
+        tgt1 = self.norm1(tgt1 + sa)
+        return self._pointer_probs(tgt1, k_mem, src_mask1), cache
 
 
 class Seq2SlateTransformerModel(nn.Module):
@@ -350,7 +440,11 @@ class Seq2SlateTransformerModel(nn.Module):
         self, state: Array, memory: Array, candidate_features: Array,
         tgt_seq_len: int, greedy: bool, rng: Optional[Array],
     ):
-        """lax.scan over slate positions with a fixed-size tgt buffer."""
+        """Incremental KV-cached decode: ``lax.scan`` over slate positions,
+        each step running the decoder layers on ONE new position against
+        caller-owned (k, v) caches — O(T) layer work per slate instead of the
+        re-decode-the-prefix O(T²).  FRECHET_SORT sampling short-circuits to
+        the static encoder scores (its ``decode`` never uses the layers)."""
         B, C, cdim = candidate_features.shape
         T = tgt_seq_len
         if rng is None:
@@ -361,41 +455,98 @@ class Seq2SlateTransformerModel(nn.Module):
                 )
             rng = jax.random.PRNGKey(0)  # unused by the greedy argmax path
 
-        # fixed-size tgt_in_idx buffer [B, T+1]; position 0 = start symbol
-        init_idx = jnp.full((B, T + 1), PADDING_SYMBOL, jnp.int32)
-        init_idx = init_idx.at[:, 0].set(DECODER_START_SYMBOL)
+        if self.output_arch == Seq2SlateOutputArch.FRECHET_SORT:
+            return self._static_score_rank(memory, B, C, T, greedy, rng)
+
+        H = self.num_heads
+        dh = self.dim_model // H
+        caches = tuple(
+            (
+                jnp.zeros((B, T, H, dh), self.compute_dtype),
+                jnp.zeros((B, T, H, dh), self.compute_dtype),
+            )
+            for _ in self.decoder_layers
+        )
+        pe = positional_table(T, self.dim_model)
+        # loop-invariant: pointer keys over encoder memory, computed once
+        k_mem = self.decoder_layers[-1].memory_keys(memory)
+        init_carry = (
+            jnp.full((B,), DECODER_START_SYMBOL, jnp.int32),  # previous symbol
+            jnp.zeros((B, C), bool),  # symbols used so far (incl. start)
+            caches,
+            rng,
+        )
 
         def step(mdl, carry, t):
-            tgt_in_idx_buf, rng = carry
+            cur_idx, selected, caches, rng = carry
             rng, r = jax.random.split(rng)
-            prefix = tgt_in_idx_buf[:, :T]  # static length; padded after t
-            tgt_in_seq = jnp.take_along_axis(
-                candidate_features, prefix[:, :, None], axis=1
-            )
-            probs_all = mdl.decode(memory, state, prefix, tgt_in_seq)  # [B, T, C]
-            probs = jnp.take_along_axis(
-                probs_all, jnp.full((B, 1, 1), t), axis=1
-            )[:, 0]  # [B, C] at position t
+            tok_feat = jnp.take_along_axis(
+                candidate_features, cur_idx[:, None, None], axis=1
+            )  # [B, 1, cdim] (zeros for start/padding symbols)
+            x1 = mdl._embed(state, tok_feat) + pe[t][None, None, :]
+            # inclusive mask: the input symbol counts as selected (matches
+            # decode()'s inclusive cumsum over tgt_in_idx)
+            selected = selected | jax.nn.one_hot(cur_idx, C, dtype=bool)
+            src_mask1 = ~selected[:, 2:][:, None, :]  # [B, 1, S] True = attend
+            new_caches = []
+            for i, layer in enumerate(mdl.decoder_layers[:-1]):
+                x1, c = layer.step(x1, memory, src_mask1, caches[i], t)
+                new_caches.append(c)
+            probs_s, c = mdl.decoder_layers[-1].step(
+                x1, k_mem, src_mask1, caches[-1], t
+            )  # [B, 1, S]
+            new_caches.append(c)
+            probs = jnp.concatenate(
+                [jnp.zeros((B, 2)), probs_s[:, 0]], axis=1
+            )  # [B, C]
             if greedy:
                 nxt = jnp.argmax(probs, axis=1)
             else:
                 logits = jnp.log(jnp.clip(probs, 1e-35)) / self.temperature
                 nxt = jax.random.categorical(r, logits, axis=1)
-            tgt_in_idx_buf = jax.vmap(
-                lambda buf, i, v: buf.at[i].set(v), in_axes=(0, None, 0)
-            )(tgt_in_idx_buf, t + 1, nxt.astype(jnp.int32))
-            return (tgt_in_idx_buf, rng), probs
+            nxt = nxt.astype(jnp.int32)
+            return (nxt, selected, tuple(new_caches), rng), (probs, nxt)
 
-        # lifted scan: params shared (broadcast) across slate positions
         scan_step = nn.scan(
             step,
             variable_broadcast="params",
             split_rngs={"params": False},
         )
-        (tgt_buf, _), probs_seq = scan_step(self, (init_idx, rng), jnp.arange(T))
-        tgt_out_idx = tgt_buf[:, 1:]
+        _, (probs_seq, idx_seq) = scan_step(self, init_carry, jnp.arange(T))
+        tgt_out_idx = jnp.transpose(idx_seq)  # [B, T]
         per_symbol = jnp.transpose(probs_seq, (1, 0, 2))  # [B, T, C]
         return tgt_out_idx, per_symbol
+
+    def _static_score_rank(self, memory, B, C, T, greedy, rng):
+        """Sampling path for FRECHET_SORT: per-step softmax over the static
+        encoder scores with already-picked items masked out (what decode()
+        computes for this arch, without touching the decoder layers)."""
+        enc_scores = self.encoder_scorer(memory)[..., 0]  # [B, S]
+        base_logits = jnp.concatenate(
+            [jnp.full((B, 2), -jnp.inf), enc_scores.astype(jnp.float32)], axis=1
+        )
+
+        def step(mdl, carry, t):
+            selected, rng = carry
+            rng, r = jax.random.split(rng)
+            logits = jnp.where(selected, -jnp.inf, base_logits)
+            probs = jax.nn.softmax(logits, axis=1)
+            if greedy:
+                nxt = jnp.argmax(probs, axis=1)
+            else:
+                nxt = jax.random.categorical(
+                    r, jnp.log(jnp.clip(probs, 1e-35)) / mdl.temperature, axis=1
+                )
+            nxt = nxt.astype(jnp.int32)
+            selected = selected | jax.nn.one_hot(nxt, C, dtype=bool)
+            return (selected, rng), (probs, nxt)
+
+        scan_step = nn.scan(
+            step, variable_broadcast="params", split_rngs={"params": False}
+        )
+        init = (jnp.zeros((B, C), bool), rng)
+        _, (probs_seq, idx_seq) = scan_step(self, init, jnp.arange(T))
+        return jnp.transpose(idx_seq), jnp.transpose(probs_seq, (1, 0, 2))
 
     def log_probs(
         self, state, src_seq, tgt_in_seq, tgt_in_idx, tgt_out_idx, mode: str
