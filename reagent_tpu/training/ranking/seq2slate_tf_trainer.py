@@ -151,6 +151,25 @@ class Seq2SlateSimulationTrainer:
     def init(self, rng: Array, batch_proto: rlt.PreprocessedRankingInput):
         return self.trainer.init(rng, batch_proto)
 
+    def validation_step(self, state, batch: rlt.PreprocessedRankingInput):
+        """The reference sim trainer inherits Seq2SlateTrainer's
+        validation_step (seq2slate_sim_trainer.py:62); the simulator's reward
+        model doubles as the CPE reward network, so calc_cpe is always on."""
+        from reagent_tpu.training.ranking.seq2slate_trainer import (
+            seq2slate_validation_step,
+        )
+
+        return seq2slate_validation_step(
+            self.seq2slate_net,
+            state.policy_params,
+            batch,
+            baseline_net=self.trainer.baseline_net,
+            baseline_params=state.baseline_params,
+            calc_cpe=True,
+            reward_network=self.reward_net,
+            reward_params=self.reward_params,
+        )
+
     def train_step(self, state, batch: rlt.PreprocessedRankingInput, rng: Array):
         # 1. rank with the current policy (sampling)
         out = self.seq2slate_net.apply(

@@ -152,3 +152,26 @@ def test_tf_trainer_validation_step():
 
 def test_accumulate_edp_pairs_empty():
     assert accumulate_edp_pairs([(None, None)]) == (None, None)
+
+
+def test_sim_trainer_validation_step():
+    """The simulation trainer's reward model doubles as the CPE reward net
+    (reference seq2slate_sim_trainer.py:62 inherits validation_step)."""
+    from reagent_tpu.training.ranking.seq2slate_tf_trainer import (
+        Seq2SlateSimulationTrainer,
+    )
+
+    batch = _batch()
+    rnet, rparams = _reward_net(batch)
+    trainer = Seq2SlateSimulationTrainer(
+        _model(), reward_net=rnet, reward_params=rparams,
+        policy_optimizer={"Adam": {"lr": 1e-3}},
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), batch)
+    ts, _ = trainer.train_step(ts, batch, jax.random.PRNGKey(1))
+    metrics, edp_g, edp_ng = trainer.validation_step(ts, batch)
+    assert metrics["logged_slate_rank_probs"].shape == (B,)
+    edp_g.validate()
+    edp_ng.validate()
+    ips = OPEstimatorAdapter(IPSEstimator()).estimate(edp_ng)
+    assert np.isfinite(ips.raw)
