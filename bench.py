@@ -40,10 +40,12 @@ import json
 import os
 import time
 
-# assumed dense peak (bf16) by device kind; fallback covers unknown kinds
+# assumed dense peak (bf16) by device kind; substring fallback tries the
+# most specific (longest) key first so "TPU v4 lite" hits v4i, not v4
 _PEAK_BF16_TFLOPS = {
     "TPU v5 lite": 197.0,  # v5e public spec, bf16 dense
     "TPU v5": 459.0,       # v5p
+    "TPU v4 lite": 138.0,  # v4i
     "TPU v4": 275.0,
 }
 
@@ -53,11 +55,18 @@ def device_info():
 
     kind = jax.devices()[0].device_kind
     peak = _PEAK_BF16_TFLOPS.get(kind)
+    source = "table"
     if peak is None:
-        peak = next(
-            (v for k, v in _PEAK_BF16_TFLOPS.items() if k in kind), 197.0
-        )
-    return {"device_kind": kind, "assumed_peak_bf16_tflops": peak}
+        by_len = sorted(_PEAK_BF16_TFLOPS.items(), key=lambda kv: -len(kv[0]))
+        peak = next((v for k, v in by_len if k in kind), None)
+        source = "substring-match" if peak is not None else "default-guess"
+        if peak is None:
+            peak = 197.0
+    return {
+        "device_kind": kind,
+        "assumed_peak_bf16_tflops": peak,
+        "peak_source": source,
+    }
 
 
 def _compiled_flops(compiled) -> float | None:

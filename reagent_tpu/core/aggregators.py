@@ -124,7 +124,7 @@ class FunctionsByActionAggregator(TensorAggregator):
             for action, value in zip(self.actions, aggregated):
                 self.values[name][action].append(float(value))
             latest = {a: v[-1] for a, v in self.values[name].items()}
-            logger.info("%s %s %s", name, self.key, latest)
+            logger.debug("%s %s %s", name, self.key, latest)
 
 
 class ActionCountAggregator(TensorAggregator):

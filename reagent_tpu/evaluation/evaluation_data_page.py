@@ -306,11 +306,22 @@ class EvaluationDataPage:
         )[:, :1]
 
         action_dim = actions.shape[1]
-        action_mask = jnp.all(
-            possible_actions.reshape(B, M, action_dim) == actions[:, None, :],
-            axis=2,
-        ).astype(jnp.float32)
-        assert np.all(np.asarray(action_mask).sum(axis=1) == 1)
+        # tolerant float match, restricted to actions the mask allows
+        # (duplicate padded rows outside the mask must not double-match)
+        action_mask = (
+            jnp.all(
+                jnp.isclose(
+                    possible_actions.reshape(B, M, action_dim),
+                    actions[:, None, :],
+                    atol=1e-6,
+                ),
+                axis=2,
+            ).astype(jnp.float32)
+            * possible_actions_mask.astype(jnp.float32)
+        )
+        assert np.all(np.asarray(action_mask).sum(axis=1) == 1), (
+            "each logged action must match exactly one allowed possible action"
+        )
         num_metrics = model_metrics.shape[1] // M
 
         model_metrics_values = None

@@ -45,6 +45,7 @@ class DiscreteCRR(DiscreteDQN):
         q2_network = q_builder.build_q_network(state_norm, output_dim=num_actions)
         tp = dict(self.trainer_param)
         return DiscreteCRRTrainer(
+            emit_reporter_arrays=True,
             actor_network=actor_network,
             q1_network=q1_network,
             q2_network=q2_network,

@@ -131,6 +131,7 @@ class DiscreteDQN(ModelManager):
             reward_network = cpe_builder.build_q_network(state_norm, output_dim=num_actions)
             q_network_cpe = cpe_builder.build_q_network(state_norm, output_dim=num_actions)
         return DQNTrainer(
+            emit_reporter_arrays=True,
             q_network=q_network,
             rl=self.rl_parameters,
             double_q_learning=self._param.double_q_learning,

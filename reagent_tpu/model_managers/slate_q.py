@@ -64,6 +64,7 @@ class SlateQ(ModelManager):
         )
         tp = self._tp
         return SlateQTrainer(
+            emit_reporter_arrays=True,
             q_network=q_network,
             slate_size=self.slate_size,
             rl=self.rl_parameters,

@@ -102,7 +102,12 @@ def _result(input: BanditsEstimatorInput, estimate: np.ndarray) -> EstimatorResu
     estimate = np.asarray(estimate, dtype=np.float64).reshape(-1)
     log_avg = float(np.mean(input.log_reward))
     normalizer = 0.0 if log_avg < SCORE_THRESHOLD else 1.0 / log_avg
-    std_err = bootstrapped_std_error_of_mean(estimate)
+    if len(estimate) >= 4:
+        std_err = bootstrapped_std_error_of_mean(estimate)
+    else:
+        # the reference's bootstrap resamples int(0.25*N) points and returns
+        # NaN below N=4; fall back to the analytic standard error there
+        std_err = float(np.std(estimate) / np.sqrt(max(len(estimate), 1)))
     est_mean = float(np.mean(estimate))
     return EstimatorResult(
         log_reward=log_avg,
@@ -135,8 +140,15 @@ class IPSEstimator(Estimator):
         result = _result(input, est)
         if self.weighted:
             # reference :368: tgt_avg.average / acc_weight.total (kept verbatim
-            # for parity; note it divides the MEAN by the TOTAL weight)
-            result.estimated_reward = float(np.mean(est)) / float(np.sum(w))
+            # for parity; note it divides the MEAN by the TOTAL weight).
+            # All-zero weights (target fully off the logged support) -> 0.
+            total_w = float(np.sum(w))
+            result.estimated_reward = (
+                float(np.mean(est)) / total_w if total_w > 0 else 0.0
+            )
+            log_avg = result.log_reward
+            normalizer = 0.0 if log_avg < SCORE_THRESHOLD else 1.0 / log_avg
+            result.estimated_reward_normalized = result.estimated_reward * normalizer
         return result
 
 

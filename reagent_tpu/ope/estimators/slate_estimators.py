@@ -295,20 +295,24 @@ class PseudoInverseEstimator(Estimator):
         k = input.slots
         if self.reference_pinv:
             n = input.n
-            m = input.log_item_probs.shape[2]
             log_e = input.slot_item_expectations(input.log_item_probs)
             tgt_e = input.slot_item_expectations(input.tgt_item_probs)
-            ones = np.zeros((n, k, m))
-            ones[
-                np.arange(n)[:, None], np.arange(k)[None, :], input.log_slate
-            ] = 1.0
-            w = np.empty(n)
-            for i in range(n):
-                q = log_e[i].reshape(-1)
-                gamma = np.linalg.pinv(np.outer(q, q))
-                w[i] = float(
-                    tgt_e[i].reshape(1, -1) @ gamma @ ones[i].reshape(-1, 1)
-                )
+            # reference :1374-1398 computes pinv(q q^T) per sample; for the
+            # rank-1 outer product pinv(q q^T) = q q^T / ||q||^4 exactly, so
+            # the weight collapses to (t.q)(q[logged slate].sum)/||q||^4 —
+            # vectorized, no O((KM)^3) pinv per sample
+            q = log_e.reshape(n, -1)
+            t = tgt_e.reshape(n, -1)
+            q_logged = np.sum(
+                log_e[
+                    np.arange(n)[:, None], np.arange(k)[None, :], input.log_slate
+                ],
+                axis=1,
+            )
+            qq = np.sum(q * q, axis=1)
+            w = np.where(
+                qq > 0, np.sum(t * q, axis=1) * q_logged / np.where(qq > 0, qq, 1.0) ** 2, 0.0
+            )
             if self.clamp_max is not None:
                 w = np.minimum(w, self.clamp_max)
             return _weighted_result(input, w, np.ones(n, dtype=bool), self.weighted)

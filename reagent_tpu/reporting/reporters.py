@@ -158,6 +158,8 @@ class Seq2SlateReporter(ReporterBase):
                 "kl_loss", "eval_baseline_loss",
             ]
         )
+        # EDP pairs are accumulated by accumulate_edp_pairs, not the
+        # reporter (np.asarray would mangle them into object scalars)
         kw["value_list_observers"].update(
             {
                 k: ValueListObserver(k)
@@ -165,8 +167,6 @@ class Seq2SlateReporter(ReporterBase):
                     "eval_advantages",
                     "logged_slate_rank_probs",
                     "ranked_slate_rank_probs",
-                    "eval_data_pages_g",
-                    "eval_data_pages_ng",
                 )
             }
         )

@@ -51,8 +51,10 @@ class DiscreteCRRTrainer:
         max_weight: float = 20.0,
         entropy_coeff: float = 0.0,
         clip_limit: float = 10.0,
+        emit_reporter_arrays: bool = False,
         delayed_policy_update: int = 1,
     ) -> None:
+        self.emit_reporter_arrays = emit_reporter_arrays
         self.actor_network = actor_network
         self.q1_network = q1_network
         self.q2_network = q2_network
@@ -198,10 +200,16 @@ class DiscreteCRRTrainer:
                 "actor_loss": actor_loss,
                 # reporter action-histogram arrays (reference
                 # discrete_crr_reporter.py / dqn_trainer.py:311-320)
-                "logged_actions": jnp.argmax(batch.action, axis=1),
-                "logged_rewards": rewards.reshape(-1),
-                "model_values": all_q1,
-                "model_action_idxs": jnp.argmax(all_q1, axis=1),
+                **(
+                    dict(
+                        logged_actions=jnp.argmax(batch.action, axis=1),
+                        logged_rewards=rewards.reshape(-1),
+                        model_values=all_q1,
+                        model_action_idxs=jnp.argmax(all_q1, axis=1),
+                    )
+                    if self.emit_reporter_arrays
+                    else {}
+                ),
             },
         )
 

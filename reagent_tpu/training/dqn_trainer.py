@@ -64,7 +64,11 @@ class DQNTrainer:
         reward_network: Optional[nn.Module] = None,
         q_network_cpe: Optional[nn.Module] = None,
         metrics_to_score: Optional[Tuple[str, ...]] = None,
+        emit_reporter_arrays: bool = False,
     ) -> None:
+        # per-sample reporter arrays cost HBM/bandwidth inside scanned epochs;
+        # model managers turn this on for reported workflow runs
+        self.emit_reporter_arrays = emit_reporter_arrays
         self.q_network = q_network
         self.rl = rl
         self.gamma = rl.gamma
@@ -159,19 +163,22 @@ class DQNTrainer:
         q_params = optax.apply_updates(state.q_params, updates)
         q_target_params = soft_update(q_params, state.q_target_params, self.tau)
 
-        # per-sample arrays for the reporter's action histograms / recent
-        # windows (reference dqn_trainer.py:311-320 reporter.log keys)
-        masked_q = jnp.where(batch.possible_actions_mask > 0, all_q, -jnp.inf)
         metrics = {
             "td_loss": td_loss,
             "q_values_mean": jnp.mean(all_q),
             "q_taken_mean": jnp.mean(q_taken),
             "reward_mean": jnp.mean(rewards),
-            "logged_actions": jnp.argmax(batch.action, axis=1),
-            "logged_rewards": rewards.reshape(-1),
-            "model_values": all_q,
-            "model_action_idxs": jnp.argmax(masked_q, axis=1),
         }
+        if self.emit_reporter_arrays:
+            # per-sample arrays for the reporter's action histograms / recent
+            # windows (reference dqn_trainer.py:311-320 reporter.log keys)
+            masked_q = jnp.where(batch.possible_actions_mask > 0, all_q, -jnp.inf)
+            metrics.update(
+                logged_actions=jnp.argmax(batch.action, axis=1),
+                logged_rewards=rewards.reshape(-1),
+                model_values=all_q,
+                model_action_idxs=jnp.argmax(masked_q, axis=1),
+            )
         new_state = state.replace(
             q_params=q_params,
             q_target_params=q_target_params,

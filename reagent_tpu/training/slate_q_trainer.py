@@ -51,7 +51,9 @@ class SlateQTrainer:
             NextSlateValueNormMethod.NORM_BY_CURRENT_SLATE_SIZE
         ),
         discount_time_scale: Optional[float] = None,
+        emit_reporter_arrays: bool = False,
     ) -> None:
+        self.emit_reporter_arrays = emit_reporter_arrays
         self.q_network = q_network
         self.slate_size = slate_size
         self.rl = rl
@@ -171,6 +173,10 @@ class SlateQTrainer:
                 "q_mean": jnp.mean(q_vals),
                 # reporter recent-window/histogram array (reference
                 # slate_q_reporter.py:35-52 "logged_rewards")
-                "logged_rewards": reward.reshape(-1),
+                **(
+                    {"logged_rewards": reward.reshape(-1)}
+                    if self.emit_reporter_arrays
+                    else {}
+                ),
             },
         )

@@ -49,6 +49,7 @@ def _run_dqn_with_reporter(tmp_path, steps=5):
         q_network=q_net,
         rl=RLParameters(gamma=0.9, target_update_rate=0.5),
         optimizer={"Adam": {"lr": 1e-2}},
+        emit_reporter_arrays=True,
     )
     state = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
     reporter = DiscreteDQNReporter(actions=["left", "right"])
