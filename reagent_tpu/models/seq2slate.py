@@ -214,7 +214,14 @@ class DecoderLayer(nn.Module):
     """Standard decoder layer: causal self-attn + cross-attn + FF (post-LN).
 
     ``__call__`` runs the full sequence (training); ``step`` runs one decode
-    position against a caller-owned KV cache (rank-mode inference)."""
+    position against a caller-owned KV cache (rank-mode inference).
+
+    CHECKPOINT-FORMAT NOTE: the KV-cached rewrite renamed the flax param
+    pytree for the decoder self-attention (auto-named
+    ``MultiHeadDotProductAttention_0/...`` -> explicit
+    ``self_attn/{q,k,v,out}_proj``).  Checkpoints / ``warm_start_path``
+    states saved before that rewrite will not restore into this module; see
+    docs/usage.md "Checkpoint compatibility" for the remap recipe."""
 
     dim_model: int
     num_heads: int

@@ -97,13 +97,22 @@ class BanditsEstimatorInput:
         return np.where(self.has_action(), r, 0.0)
 
 
-def _result(input: BanditsEstimatorInput, estimate: np.ndarray) -> EstimatorResult:
-    """Mirror reference Estimator._compute_metric_data (estimator.py:168-188)."""
+def _result(
+    input: BanditsEstimatorInput, estimate: np.ndarray, rng=None
+) -> EstimatorResult:
+    """Mirror reference Estimator._compute_metric_data (estimator.py:168-188).
+
+    ``rng``: optional np.random.Generator for the bootstrap std error;
+    defaults to a FIXED seed so estimator outputs are reproducible across
+    identical runs (thread ``rng=`` through ``evaluate`` to randomize).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
     estimate = np.asarray(estimate, dtype=np.float64).reshape(-1)
     log_avg = float(np.mean(input.log_reward))
     normalizer = 0.0 if log_avg < SCORE_THRESHOLD else 1.0 / log_avg
     if len(estimate) >= 4:
-        std_err = bootstrapped_std_error_of_mean(estimate)
+        std_err = bootstrapped_std_error_of_mean(estimate, rng=rng)
     else:
         # the reference's bootstrap resamples int(0.25*N) points and returns
         # NaN below N=4; fall back to the analytic standard error there
@@ -124,7 +133,7 @@ class DMEstimator(Estimator):
     """Direct method: E_pi[reward model] (reference :84-300)."""
 
     def evaluate(self, input: BanditsEstimatorInput, **kwargs) -> EstimatorResult:
-        return _result(input, input.dm_reward_per_sample())
+        return _result(input, input.dm_reward_per_sample(), rng=kwargs.get("rng"))
 
 
 class IPSEstimator(Estimator):
@@ -137,7 +146,7 @@ class IPSEstimator(Estimator):
     def evaluate(self, input: BanditsEstimatorInput, **kwargs) -> EstimatorResult:
         w = input.importance_weights(self.clamp_max)
         est = w * input.log_reward
-        result = _result(input, est)
+        result = _result(input, est, rng=kwargs.get("rng"))
         if self.weighted:
             # reference :368: tgt_avg.average / acc_weight.total (kept verbatim
             # for parity; note it divides the MEAN by the TOTAL weight).
@@ -168,7 +177,7 @@ class DoublyRobustEstimator(Estimator):
             (input.log_reward - r_hat_logged) * w + dm,
             dm,
         )
-        return _result(input, est)
+        return _result(input, est, rng=kwargs.get("rng"))
 
 
 class SwitchEstimator(Estimator):
@@ -262,7 +271,7 @@ class SwitchEstimator(Estimator):
         est = self._calc_estimated_values(
             rs, ws, actions_onehot, tau, r_est, r_est_logged, tgt_props
         )
-        return _result(input, est)
+        return _result(input, est, rng=kwargs.get("rng"))
 
 
 class SwitchDREstimator(SwitchEstimator):

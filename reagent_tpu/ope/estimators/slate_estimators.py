@@ -97,6 +97,22 @@ def _slot_expectation_dp(p: np.ndarray) -> np.ndarray:
     expectations under sequential without-replacement sampling (reference
     _calculate_slot_expectation, slate_estimators.py:336-370)."""
     K, M = p.shape
+    # the buffer enumerates ordered placements: after stage k it holds up to
+    # M*(M-1)*...*(M-k+1) states PER SAMPLE — tractable only for small
+    # slates.  Guard explicitly rather than letting memory/time blow up
+    # (M=20, K=5 would be ~1.8M states); the default independent-slot fast
+    # path (use_expectations=False) handles production slate sizes.
+    states = 1
+    for k in range(1, K):
+        states *= max(M - k + 1, 1)
+    if states > 500_000:
+        raise ValueError(
+            f"_slot_expectation_dp: exact without-replacement DP needs up to "
+            f"{states:,} enumeration states for M={M}, K={K}; this exact "
+            "reference mode is only tractable for small slates — use the "
+            "default independent-slot marginals (use_expectations=False) "
+            "instead"
+        )
     dm = np.zeros((K, M))
     dm[0] = p[0]
     # (placed-items set, cumulative prob, placed mass, cached prob/(1-mass))

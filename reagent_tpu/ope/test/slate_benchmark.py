@@ -108,6 +108,32 @@ class QueryCorpus:
         return self.relevances.shape[1]
 
 
+def train_ranker_scores(
+    trainer,
+    corpus: QueryCorpus,
+    train_frac: float = 0.5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train a reward-model ranker on item features → relevance; return its
+    per-doc scores for every query.
+
+    Mirrors the reference MSLR harness, where LassoTrainer/DecisionTreeTrainer
+    are the log/target rankers (reagent/ope/test/mslr_slate.py:369,620-621):
+    fit on a training split of (feature, relevance) rows, then score all docs.
+    """
+    from reagent_tpu.ope.trainers.linear_trainers import TrainingData
+
+    assert corpus.features is not None, "corpus has no features to train on"
+    Q, M, D = corpus.features.shape
+    rng = np.random.default_rng(seed)
+    train_q = rng.permutation(Q)[: max(1, int(Q * train_frac))]
+    tx = corpus.features[train_q].reshape(-1, D)
+    ty = corpus.relevances[train_q].reshape(-1)
+    vx, vy = corpus.features.reshape(-1, D), corpus.relevances.reshape(-1)
+    trainer.train(TrainingData(tx, ty, None, vx, vy))
+    return np.asarray(trainer.predict(vx)).reshape(Q, M)
+
+
 def _ranker_item_probs(
     scores: np.ndarray, slate_size: int, temperature: float
 ) -> np.ndarray:
@@ -133,20 +159,36 @@ def evaluate_slate_benchmark(
     noise: float = 0.5,
     num_samples_per_query: int = 10,
     seed: int = 0,
+    log_trainer=None,
+    tgt_trainer=None,
 ) -> Dict[str, EstimatorResult]:
     """Log slates with a noisy ranker; estimate a sharper ranker's DCG reward.
 
     Reward = sum_k w_k * relevance(item at slot k) with position weights w
     (the position-biased examination model used by PBM).
+
+    When ``log_trainer``/``tgt_trainer`` are given (e.g. LassoTrainer,
+    DecisionTreeTrainer), the corresponding ranker's scores come from a
+    reward model trained on the corpus features, exactly like the reference
+    MSLR harness pairs (log_trainer, tgt_trainer) =
+    (DecisionTree, Lasso) / (Lasso, DecisionTree)
+    (reagent/ope/test/mslr_slate.py:619-623).
     """
     rng = np.random.default_rng(seed)
     Q, M = corpus.relevances.shape
     K = slate_size
     weights = dcg_weights(K)
 
-    # noisy score proxies (the "ranker models")
-    log_scores = corpus.relevances + rng.normal(scale=noise, size=(Q, M))
-    tgt_scores = corpus.relevances + rng.normal(scale=noise / 2, size=(Q, M))
+    # ranker score models: trained reward models when trainers are supplied,
+    # otherwise noisy relevance proxies
+    if log_trainer is not None:
+        log_scores = train_ranker_scores(log_trainer, corpus, seed=seed)
+    else:
+        log_scores = corpus.relevances + rng.normal(scale=noise, size=(Q, M))
+    if tgt_trainer is not None:
+        tgt_scores = train_ranker_scores(tgt_trainer, corpus, seed=seed + 1)
+    else:
+        tgt_scores = corpus.relevances + rng.normal(scale=noise / 2, size=(Q, M))
     log_probs = _ranker_item_probs(log_scores, K, log_temperature)
     tgt_probs = _ranker_item_probs(tgt_scores, K, tgt_temperature)
 

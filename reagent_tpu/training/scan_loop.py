@@ -77,6 +77,7 @@ def make_sampled_train_fn(
     minibatch_size: int,
     num_steps: int,
     num_rows: Optional[int] = None,
+    allow_static_leaves: bool = False,
 ) -> Callable:
     """``(state, rng) -> (state, metrics)``: ``num_steps`` train steps, each
     on a uniformly sampled minibatch gathered from the device-resident
@@ -92,23 +93,32 @@ def make_sampled_train_fn(
     if num_rows is None:
         num_rows = jax.tree_util.tree_leaves(dataset)[0].shape[0]
 
-    # every array leaf must be per-row ([num_rows, ...]); a stray leaf with a
-    # different leading dim would otherwise be passed whole and fail later
-    # with an opaque trace-time shape error inside the trainer
+    # every batched array leaf must be per-row ([num_rows, ...]); 0-d leaves
+    # and (with allow_static_leaves) fixed per-dataset arrays such as a [D]
+    # normalization vector are passed through whole instead of gathered
+    def _is_static(x) -> bool:
+        return hasattr(x, "shape") and (
+            x.ndim < 1 or (allow_static_leaves and x.shape[0] != num_rows)
+        )
+
     bad = [
         (i, x.shape)
         for i, x in enumerate(jax.tree_util.tree_leaves(dataset))
-        if hasattr(x, "shape") and (x.ndim < 1 or x.shape[0] != num_rows)
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] != num_rows
+        and not allow_static_leaves
     ]
     if bad:
         raise ValueError(
             f"dataset leaves {bad} do not have leading dim num_rows={num_rows}; "
-            "every array leaf must be stacked per-row for minibatch gathering"
+            "every batched leaf must be stacked per-row for minibatch "
+            "gathering (pass allow_static_leaves=True to carry fixed "
+            "per-dataset arrays through whole)"
         )
 
     def gather(idx):
         return jax.tree_util.tree_map(
-            lambda x: x[idx] if hasattr(x, "shape") else x, dataset
+            lambda x: x[idx] if hasattr(x, "shape") and not _is_static(x) else x,
+            dataset,
         )
 
     @functools.partial(jax.jit, donate_argnums=0)
