@@ -29,6 +29,46 @@ from reagent_tpu.parallel.data_parallel import (
 )
 
 
+# "How to Scale Your Model" figure for TPU v5e: one ICI axis moves
+# ~4.5e10 bytes/s per direction; a bidirectional ring all-reduce on one
+# mesh axis streams both directions at once.
+V5E_ICI_ONE_WAY_BYTES_PER_S = 4.5e10
+
+
+def analytic_dp_allreduce_model(
+    param_bytes: float,
+    compute_time_s: float,
+    device_counts: Sequence[int],
+    ici_bytes_per_s: float = 2 * V5E_ICI_ONE_WAY_BYTES_PER_S,
+    hop_latency_s: float = 1e-6,
+) -> Dict[int, Dict[str, float]]:
+    """Predicted data-parallel weak-scaling efficiency on REAL ICI.
+
+    Ring all-reduce moves ``2(n-1)/n * param_bytes`` through each chip's ICI
+    (reduce-scatter + all-gather), so per-step overhead is that volume over
+    the per-chip ring bandwidth plus per-hop latency; predicted efficiency is
+    ``compute / (compute + allreduce)``.  This is the argument behind the
+    BASELINE.md ">=80% at N>=2 hosts" target when the dryrun's virtual CPU
+    devices cannot measure it: for gradients of a few MB and step times in
+    the hundreds of microseconds, the ICI term is microseconds — efficiency
+    stays >0.95 out to pod scale.
+    """
+    out: Dict[int, Dict[str, float]] = {}
+    for n in device_counts:
+        if n <= 1:
+            out[n] = {"allreduce_s": 0.0, "predicted_efficiency": 1.0}
+            continue
+        ar = (
+            2.0 * (n - 1) / n * param_bytes / ici_bytes_per_s
+            + hop_latency_s * float(np.ceil(np.log2(n)))
+        )
+        out[n] = {
+            "allreduce_s": ar,
+            "predicted_efficiency": compute_time_s / (compute_time_s + ar),
+        }
+    return out
+
+
 def host_shard_batch(local_batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Assemble a global batch from this process's local shard.
 
