@@ -28,6 +28,13 @@ Workloads:
 6. seq2slate_rank — greedy RANK_MODE inference (autoregressive decode of a
    20-item slate, B=512): the serving path, in slates/s.  Baseline: the
    reference model's own _rank on torch CPU.
+7. cpe_at_scale — MAGIC/WDR (25 j-steps) and sequential-DR on a 20k-
+   trajectory x 50-step x 10-action padded log: ReAgent's center-of-gravity
+   capability (counterfactual policy evaluation) at production log size.
+   Ours = the jitted [N, T] estimators (evaluation/jax_sequential_
+   estimators.py); baseline = the reference's own numpy/torch estimators
+   imported from /root/reference and run on the identical flat log.  The
+   bench also ASSERTS estimate parity (rel diff < 5e-3) at that scale.
 
 vs_baseline = ours / theirs where a baseline exists.  Every metric reports
 mfu_pct = achieved model FLOP/s over the chip's assumed bf16 peak (XLA
@@ -652,6 +659,156 @@ def bench_seq2slate_reference_cpu(num_steps: int = 8):
     return num_steps / (time.perf_counter() - t0)
 
 
+# --------------------------------------------------------------------------
+# Workload 7: CPE at scale — sequential estimators (MAGIC/WDR + seq-DR) on a
+# production-sized padded log, vs the reference's own numpy estimators
+# (reagent/evaluation/weighted_sequential_doubly_robust_estimator.py:18,
+# sequential_doubly_robust_estimator.py:18 — per-trajectory host loops).
+# --------------------------------------------------------------------------
+
+_CPE_N, _CPE_T, _CPE_A = 20_000, 50, 10
+_CPE_GAMMA = 0.9
+_CPE_J_STEPS = 25
+
+
+def _cpe_padded_arrays(seed: int = 0):
+    """Shared [N, T, ...] numpy log so both sides estimate the same data.
+
+    Equal-length episodes (T steps each): padding behavior is covered by
+    parity tests; here the figure of merit is throughput at scale.
+    """
+    import numpy as np
+
+    N, T, A = _CPE_N, _CPE_T, _CPE_A
+    g = np.random.default_rng(seed)
+    rewards = g.uniform(0.0, 1.0, (N, T)).astype(np.float32)
+    # behavior and target policies: two random softmax policies; the logged
+    # propensity is the behavior prob of the logged action
+    beh = g.normal(size=(N, T, A)).astype(np.float32)
+    beh = np.exp(beh) / np.exp(beh).sum(-1, keepdims=True)
+    # logged actions SAMPLED FROM the behavior policy (Gumbel-max) so the
+    # log is consistent — E[tgt/beh] = 1 per step and the T=50 importance
+    # cumprods stay finite
+    gumbel = -np.log(-np.log(g.uniform(size=(N, T, A))))
+    acts = np.argmax(np.log(beh + 1e-20) + gumbel, axis=-1)
+    actions = np.eye(A, dtype=np.float32)[acts]
+    # near-on-policy target (production CPE evaluates incremental policy
+    # changes); a far-off target makes T=50 importance-weight cumprods
+    # astronomically large for BOTH sides — parity holds but the estimate
+    # itself is meaningless
+    tgt = 0.9 * beh + 0.1 * g.uniform(size=(N, T, A)).astype(np.float32)
+    tgt /= tgt.sum(-1, keepdims=True)
+    logged_prop = np.take_along_axis(beh, acts[..., None], axis=2)[..., 0]
+    q_values = g.uniform(0.0, 5.0, (N, T, A)).astype(np.float32)
+    return actions, rewards, logged_prop.astype(np.float32), tgt.astype(np.float32), q_values
+
+
+def prep_cpe_at_scale_tpu():
+    """-> closure -> dict with per-estimator trajs/s + raw estimates.
+
+    Times the full estimator call (jitted [N, T] core + the tiny host MAGIC
+    QP/bootstrap tail) — end-to-end estimator latency, not just the kernel.
+    """
+    import jax.numpy as jnp
+
+    from reagent_tpu.evaluation.jax_sequential_estimators import (
+        JaxSequentialDoublyRobustEstimator,
+        JaxWeightedSequentialDoublyRobustEstimator,
+        PaddedTrajectories,
+    )
+
+    actions, rewards, logged_prop, tgt, q_values = _cpe_padded_arrays()
+    padded = PaddedTrajectories(
+        actions=jnp.asarray(actions),
+        rewards=jnp.asarray(rewards),
+        logged_propensities=jnp.asarray(logged_prop),
+        target_propensities=jnp.asarray(tgt),
+        q_values=jnp.asarray(q_values),
+    )
+    magic = JaxWeightedSequentialDoublyRobustEstimator(_CPE_GAMMA)
+    seqdr = JaxSequentialDoublyRobustEstimator(_CPE_GAMMA)
+    # warm (compile both cores)
+    r_magic = magic.estimate_padded(padded, _CPE_J_STEPS, True)
+    r_seqdr = seqdr.estimate_padded(padded)
+
+    def timed():
+        out = {}
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r_magic = magic.estimate_padded(padded, _CPE_J_STEPS, True)
+            times.append(time.perf_counter() - t0)
+        out["magic_s"] = sorted(times)[1]
+        out["magic_raw"] = r_magic.raw
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r_seqdr = seqdr.estimate_padded(padded)
+            times.append(time.perf_counter() - t0)
+        out["seqdr_s"] = sorted(times)[1]
+        out["seqdr_raw"] = r_seqdr.raw
+        return out
+
+    return timed
+
+
+def bench_cpe_reference_cpu():
+    """The reference's own estimators on the identical flat log (torch CPU).
+
+    Returns {"magic_s", "magic_raw", "seqdr_s", "seqdr_raw"} or None.  One
+    timed run each — at N=20k trajectories these take tens of seconds, and
+    the host loops have low run-to-run variance at that duration.
+    """
+    try:
+        from reagent_tpu.utils.reference_compat import add_reference_to_path
+
+        if not add_reference_to_path():
+            return None
+        import numpy as np
+        import torch
+
+        from reagent.evaluation.evaluation_data_page import (
+            EvaluationDataPage as RefEDP,
+        )
+        from reagent.evaluation.sequential_doubly_robust_estimator import (
+            SequentialDoublyRobustEstimator as RefSeqDR,
+        )
+        from reagent.evaluation.weighted_sequential_doubly_robust_estimator import (
+            WeightedSequentialDoublyRobustEstimator as RefWDR,
+        )
+    except Exception:
+        return None
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    actions, rewards, logged_prop, tgt, q_values = _cpe_padded_arrays()
+    N, T, A = _CPE_N, _CPE_T, _CPE_A
+    n = N * T
+    edp = RefEDP(
+        mdp_id=torch.from_numpy(np.repeat(np.arange(N), T).reshape(-1, 1)),
+        sequence_number=torch.from_numpy(np.tile(np.arange(T), N).reshape(-1, 1)),
+        action_mask=torch.from_numpy(actions.reshape(n, A)),
+        logged_rewards=torch.from_numpy(rewards.reshape(n, 1)),
+        logged_propensities=torch.from_numpy(logged_prop.reshape(n, 1)),
+        model_propensities=torch.from_numpy(tgt.reshape(n, A)),
+        model_values=torch.from_numpy(q_values.reshape(n, A)),
+        model_rewards=torch.from_numpy(q_values.reshape(n, A)),
+        model_rewards_for_logged_action=torch.from_numpy(rewards.reshape(n, 1)),
+        model_metrics_values=None,
+        model_metrics=None,
+        possible_actions_mask=torch.ones(n, A),
+    )
+    out = {}
+    t0 = time.perf_counter()
+    r = RefWDR(_CPE_GAMMA).estimate(edp, _CPE_J_STEPS, True)
+    out["magic_s"] = time.perf_counter() - t0
+    out["magic_raw"] = r.raw
+    t0 = time.perf_counter()
+    r = RefSeqDR(_CPE_GAMMA).estimate(edp)
+    out["seqdr_s"] = time.perf_counter() - t0
+    out["seqdr_raw"] = r.raw
+    return out
+
+
 def main():
     # Phase A: run the torch-CPU baselines serially on an otherwise idle host
     # (concurrent work would depress them and inflate vs_baseline).
@@ -684,6 +841,10 @@ def main():
         base["rank"] = max(runs) if runs else None
     except Exception:
         base["rank"] = None
+    try:
+        base["cpe"] = bench_cpe_reference_cpu()
+    except Exception:
+        base["cpe"] = None
 
     dev = device_info()
     peak = dev["assumed_peak_bf16_tflops"]
@@ -697,10 +858,12 @@ def main():
             prep_seq2slate_tpu, 40, _S2S_LARGE, _S2S_LARGE_B, "bfloat16"
         )
         f_rank = ex.submit(prep_seq2slate_rank_tpu)
+        f_cpe = ex.submit(prep_cpe_at_scale_tpu)
         timed_online, timed_off, timed_off16, timed_s2s, timed_s2s16, timed_rank = (
             f_online.result(), f_off.result(), f_off16.result(),
             f_s2s.result(), f_s2s16.result(), f_rank.result(),
         )
+        timed_cpe = f_cpe.result()
 
     ours_online = timed_online()
     ours_off, off_tflops = timed_off()
@@ -708,6 +871,7 @@ def main():
     ours_s2s, s2s_tflops = timed_s2s()
     ours_s2s16, s2s16_tflops = timed_s2s16()
     ours_rank = timed_rank()
+    ours_cpe = timed_cpe()
 
     metrics = [
         {
@@ -765,6 +929,33 @@ def main():
             "mfu_pct": _mfu(s2s16_tflops, peak),
         },
     ]
+
+    cpe_base = base.get("cpe")
+    for est, label in (("magic", "MAGIC/WDR j=25"), ("seqdr", "sequential DR")):
+        ours_t = ours_cpe[f"{est}_s"]
+        ref_t = cpe_base[f"{est}_s"] if cpe_base else None
+        parity = (
+            abs(ours_cpe[f"{est}_raw"] - cpe_base[f"{est}_raw"])
+            / max(abs(cpe_base[f"{est}_raw"]), 1e-12)
+            if cpe_base else None
+        )
+        if parity is not None and parity > 5e-3:
+            raise AssertionError(
+                f"CPE-at-scale parity violated for {est}: ours "
+                f"{ours_cpe[f'{est}_raw']} vs reference "
+                f"{cpe_base[f'{est}_raw']} (rel diff {parity:.2e})"
+            )
+        metrics.append({
+            "metric": f"cpe_{est}_20k_trajectories_per_s",
+            "value": round(_CPE_N / ours_t, 1),
+            "unit": f"trajectories/s ({label}, N=20k, T=50, A=10; full "
+                    "estimator call incl. host QP/bootstrap tail)",
+            "vs_baseline": round(ref_t / ours_t, 2) if ref_t else None,
+            "mfu_pct": None,  # bandwidth/latency workload, MFU n/a
+            "estimate_rel_diff_vs_reference": (
+                round(parity, 6) if parity is not None else None
+            ),
+        })
 
     methodology = {
         **dev,
