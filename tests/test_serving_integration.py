@@ -199,3 +199,65 @@ def test_cpp_unit_suites_pass():
         out = subprocess.run([path], capture_output=True, timeout=300)
         assert out.returncode == 0, out.stdout.decode()[-2000:]
         assert b"PASSED" in out.stdout
+
+
+def test_latency_profile(server):
+    """Requests/s and p50/p99 latency on the e-commerce plan.
+
+    The reference measures per-request latency but publishes no numbers
+    (serving/reagent/serving/core/DecisionService.cpp:33-61 there); here the
+    profile is part of CI with a loose p99 bound.  Measured figures live in
+    docs/rasp_tutorial.md ("Latency profile").
+    """
+    import threading
+
+    import numpy as np
+
+    from reagent_tpu.serving import DecisionServiceClient
+
+    from examples.ecommerce.customer_simulator import ACTIONS
+
+    client = DecisionServiceClient(port=server["port"])
+    ctx = {a: 0.5 for a in ACTIONS}
+
+    # warm
+    for _ in range(20):
+        client.request("heuristic", ACTIONS, input=ctx)
+
+    lat = []
+    for _ in range(500):
+        t0 = time.perf_counter()
+        resp = client.request("heuristic", ACTIONS, input=ctx)
+        lat.append(time.perf_counter() - t0)
+        assert resp["actions"]
+    lat_ms = np.array(lat) * 1e3
+    p50, p99 = float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99))
+
+    # concurrent throughput: 8 client threads, 150 requests each
+    n_threads, per = 8, 150
+    errs = []
+
+    def worker():
+        c = DecisionServiceClient(port=server["port"])
+        try:
+            for _ in range(per):
+                c.request("heuristic", ACTIONS, input=ctx)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    assert not errs, errs
+    rps = n_threads * per / dt
+
+    print(f"\nSERVING_LATENCY p50={p50:.2f}ms p99={p99:.2f}ms "
+          f"sequential_rps={1000.0 / np.mean(lat_ms):.0f} "
+          f"concurrent_rps={rps:.0f} (threads={n_threads})")
+    # loose bounds: tiny heuristic DAG over localhost HTTP
+    assert p99 < 100.0, f"p99 {p99:.1f}ms"
+    assert rps > 200.0, f"throughput {rps:.0f} req/s"
