@@ -35,6 +35,10 @@ Workloads:
    estimators.py); baseline = the reference's own numpy/torch estimators
    imported from /root/reference and run on the identical flat log.  The
    bench also ASSERTS estimate parity (rel diff < 5e-3) at that scale.
+8. sparse_embedding — the torchrec-equivalent path at non-toy size: 10M x 64
+   embedding table, batch 4096 x 50-id jagged lookups, touched-rows-only
+   row-wise-Adagrad scatter update (ops/sparse_embedding.py).  Baseline: the
+   identical algorithm in torch on CPU (index_select + index_add_).
 
 vs_baseline = ours / theirs where a baseline exists.  Every metric reports
 mfu_pct = achieved model FLOP/s over the chip's assumed bf16 peak (XLA
@@ -660,6 +664,104 @@ def bench_seq2slate_reference_cpu(num_steps: int = 8):
 
 
 # --------------------------------------------------------------------------
+# Workload 8: sparse embedding training at scale (torchrec-equivalent path,
+# reference seam reagent/core/types.py:23-24, models/
+# synthetic_reward_sparse_arch.py:95): 10M x 64 table, jagged ID-list lookup
+# + touched-rows-only row-wise-Adagrad update (ops/sparse_embedding.py).
+# Baseline: the identical algorithm in torch on CPU (index_select +
+# index_add_), i.e. torchrec's fused rowwise-Adagrad semantics by hand.
+# --------------------------------------------------------------------------
+
+_SPE_TABLE, _SPE_DIM, _SPE_B, _SPE_L = 10_000_000, 64, 4096, 50
+_SPE_STEPS = 50
+
+
+def prep_sparse_embedding_tpu():
+    """-> closure -> (steps/s, effective table GB/s)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.ops.sparse_embedding import (
+        init_sparse_embedding_state,
+        make_sparse_embedding_train_step,
+    )
+
+    state, head_apply, opt = init_sparse_embedding_state(
+        jax.random.PRNGKey(0), _SPE_TABLE, _SPE_DIM, head_hidden=256
+    )
+    step = make_sparse_embedding_train_step(head_apply, opt)
+    g = np.random.default_rng(0)
+    ids = jnp.asarray(g.integers(0, _SPE_TABLE, (_SPE_B, _SPE_L)), jnp.int32)
+    mask = jnp.ones((_SPE_B, _SPE_L), bool)
+    target = jnp.asarray(g.normal(size=(_SPE_B, 1)), jnp.float32)
+
+    state, loss = step(state, ids, mask, target)  # compile + warm
+    float(loss)
+
+    def timed():
+        nonlocal state
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(_SPE_STEPS):
+                state, loss = step(state, ids, mask, target)
+            float(loss)  # value fetch = true barrier
+            times.append(time.perf_counter() - t0)
+        sps = _SPE_STEPS / sorted(times)[1]
+        # table traffic per step: row gather + scatter read-modify-write
+        gbps = sps * 3 * _SPE_B * _SPE_L * _SPE_DIM * 4 / 1e9
+        return sps, gbps
+
+    return timed
+
+
+def bench_sparse_embedding_torch_cpu(num_steps: int = 6):
+    """Same touched-rows rowwise-Adagrad algorithm in torch on all host
+    cores (index_select gather, autograd to the gathered rows only,
+    index_add_ scatter update)."""
+    import numpy as np
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    T, D, B, L = _SPE_TABLE, _SPE_DIM, _SPE_B, _SPE_L
+    g = np.random.default_rng(0)
+    table = torch.randn(T, D) * 0.01
+    accum = torch.zeros(T)
+    w1 = torch.randn(D, 256, requires_grad=True)
+    b1 = torch.zeros(256, requires_grad=True)
+    w2 = torch.randn(256, 1, requires_grad=True)
+    b2 = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.Adam([w1, b1, w2, b2], lr=1e-3)
+    ids = torch.from_numpy(g.integers(0, T, (B, L)))
+    target = torch.from_numpy(g.normal(size=(B, 1)).astype(np.float32))
+    flat_ids = ids.reshape(-1)
+    lr, eps = 0.05, 1e-8
+
+    def step():
+        rows = table[flat_ids].reshape(B, L, D).requires_grad_(True)
+        pooled = rows.mean(dim=1)
+        pred = torch.relu(pooled @ w1 + b1) @ w2 + b2
+        loss = torch.nn.functional.mse_loss(pred, target)
+        opt.zero_grad()
+        loss.backward()
+        with torch.no_grad():
+            fg = rows.grad.reshape(-1, D)
+            gsq = fg.pow(2).mean(dim=-1)
+            accum.index_add_(0, flat_ids, gsq)
+            scale = (accum[flat_ids] + eps).rsqrt()
+            table.index_add_(0, flat_ids, -lr * scale[:, None] * fg)
+        opt.step()
+
+    step()  # warm
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        step()
+    return num_steps / (time.perf_counter() - t0)
+
+
+# --------------------------------------------------------------------------
 # Workload 7: CPE at scale — sequential estimators (MAGIC/WDR + seq-DR) on a
 # production-sized padded log, vs the reference's own numpy estimators
 # (reagent/evaluation/weighted_sequential_doubly_robust_estimator.py:18,
@@ -845,6 +947,10 @@ def main():
         base["cpe"] = bench_cpe_reference_cpu()
     except Exception:
         base["cpe"] = None
+    try:
+        base["sparse"] = bench_sparse_embedding_torch_cpu()
+    except Exception:
+        base["sparse"] = None
 
     dev = device_info()
     peak = dev["assumed_peak_bf16_tflops"]
@@ -859,11 +965,13 @@ def main():
         )
         f_rank = ex.submit(prep_seq2slate_rank_tpu)
         f_cpe = ex.submit(prep_cpe_at_scale_tpu)
+        f_sparse = ex.submit(prep_sparse_embedding_tpu)
         timed_online, timed_off, timed_off16, timed_s2s, timed_s2s16, timed_rank = (
             f_online.result(), f_off.result(), f_off16.result(),
             f_s2s.result(), f_s2s16.result(), f_rank.result(),
         )
         timed_cpe = f_cpe.result()
+        timed_sparse = f_sparse.result()
 
     ours_online = timed_online()
     ours_off, off_tflops = timed_off()
@@ -872,6 +980,7 @@ def main():
     ours_s2s16, s2s16_tflops = timed_s2s16()
     ours_rank = timed_rank()
     ours_cpe = timed_cpe()
+    ours_sparse, sparse_gbps = timed_sparse()
 
     metrics = [
         {
@@ -929,6 +1038,17 @@ def main():
             "mfu_pct": _mfu(s2s16_tflops, peak),
         },
     ]
+
+    metrics.append({
+        "metric": "sparse_embedding_train_steps_per_s",
+        "value": round(ours_sparse, 1),
+        "unit": "train steps/s (10M x 64 table, batch 4096 x 50 ids, "
+                "touched-rows rowwise-Adagrad + dense head Adam)",
+        "vs_baseline": round(ours_sparse / base["sparse"], 2)
+        if base.get("sparse") else None,
+        "effective_table_gbps": round(sparse_gbps, 1),
+        "mfu_pct": None,  # gather/scatter workload: HBM-bound by design
+    })
 
     cpe_base = base.get("cpe")
     for est, label in (("magic", "MAGIC/WDR j=25"), ("seqdr", "sequential DR")):
