@@ -75,7 +75,14 @@ class FusedDQNTrainer:
         optimizer: Any = None,
         minibatch_size: int = 512,
         interpret: bool = False,
+        block_size: int | None = None,
+        matmul_dtype: Any = None,
     ) -> None:
+        """``block_size``: when set, use the GRIDDED offline kernel
+        (ops/fused_dqn_offline.py) — the minibatch streams through VMEM in
+        ``block_size``-row blocks, so ``minibatch_size`` can be offline-sized
+        (4096+).  ``matmul_dtype=jnp.bfloat16`` runs kernel matmuls on the
+        MXU's native bf16 path with f32 accumulation."""
         assert rl.q_network_loss == "mse", "fused kernel supports mse only"
         assert not rl.use_seq_num_diff_as_time_diff and rl.multi_steps is None, (
             "fused kernel uses a scalar gamma discount"
@@ -95,6 +102,8 @@ class FusedDQNTrainer:
         assert not kw.get("weight_decay") and not kw.get("amsgrad")
         self.activations = list(getattr(q_network, "activations", []))
         self._interpret = interpret
+        self.block_size = block_size
+        self.matmul_dtype = matmul_dtype if matmul_dtype is not None else jnp.float32
         self._layout = None  # (kernel_idx, bias_idx, dims) set at init
         self._params_example = None
         self._run = None
@@ -114,11 +123,23 @@ class FusedDQNTrainer:
             "fused kernel's analytic backward assumes a linear output layer; "
             f"got final activation {acts[-1]!r}"
         )
-        self._run = make_fused_dqn_train_kernel(
-            dims, acts, self.minibatch_size, self.gamma, self.tau,
-            self.double_q_learning, b1=self.b1, b2=self.b2,
-            interpret=self._interpret,
-        )
+        if self.block_size is not None:
+            from reagent_tpu.ops.fused_dqn_offline import (
+                make_fused_dqn_offline_kernel,
+            )
+
+            self._run = make_fused_dqn_offline_kernel(
+                dims, acts, self.minibatch_size, self.gamma, self.tau,
+                self.double_q_learning, block_size=self.block_size,
+                b1=self.b1, b2=self.b2, matmul_dtype=self.matmul_dtype,
+                interpret=self._interpret,
+            )
+        else:
+            self._run = make_fused_dqn_train_kernel(
+                dims, acts, self.minibatch_size, self.gamma, self.tau,
+                self.double_q_learning, b1=self.b1, b2=self.b2,
+                interpret=self._interpret,
+            )
         self._acts = acts
         W, b = params_to_kernel_layout(params, kernel_idx, bias_idx)
         # One-time numeric probe: the kernel's forward (with the activation
@@ -151,10 +172,11 @@ class FusedDQNTrainer:
 
     # ------------------------------------------------------------ train step
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(
+    def _apply_kernel(
         self, state: FusedDQNTrainerState, batch: rlt.DiscreteDqnInput
     ) -> Tuple[FusedDQNTrainerState, Dict[str, Array]]:
+        """Un-jitted kernel application (shared by train_step and the
+        scanned offline driver)."""
         B = self.minibatch_size
         t = (state.step + 1).astype(jnp.float32)
         bc1 = 1.0 - self.b1 ** t
@@ -192,6 +214,88 @@ class FusedDQNTrainer:
             "reward_mean": m[0, 3],
         }
         return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self, state: FusedDQNTrainerState, batch: rlt.DiscreteDqnInput
+    ) -> Tuple[FusedDQNTrainerState, Dict[str, Array]]:
+        return self._apply_kernel(state, batch)
+
+    def make_sampled_train_fn(
+        self, dataset: rlt.DiscreteDqnInput, num_steps: int,
+        num_rows: int | None = None,
+    ):
+        """``(state, rng) -> (state, metrics)``: the fused-kernel analogue of
+        training/scan_loop.make_sampled_train_fn — ``num_steps`` kernel
+        updates per compiled call, each on a freshly sampled minibatch
+        gathered from the device-resident dataset."""
+        if num_rows is None:
+            num_rows = jax.tree_util.tree_leaves(dataset)[0].shape[0]
+        B = self.minibatch_size
+
+        def gather(idx):
+            return jax.tree_util.tree_map(
+                lambda x: x[idx] if hasattr(x, "shape") else x, dataset
+            )
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, rng):
+            def body(s, r):
+                idx = jax.random.randint(r, (B,), 0, num_rows)
+                return self._apply_kernel(s, gather(idx))
+
+            return jax.lax.scan(body, state, jax.random.split(rng, num_steps))
+
+        return run
+
+    def make_packed_sampled_train_fn(
+        self, dataset: rlt.DiscreteDqnInput, num_steps: int,
+        num_rows: int | None = None,
+    ):
+        """Like make_sampled_train_fn, but the whole dataset is packed ONCE
+        into a single [N, C] row matrix so each step does ONE random-row
+        gather instead of ten.  Measured on v5e: the 10-leaf gather costs
+        ~190us/step at batch 4096 (each gather pays its own random-access
+        overhead); the packed single gather costs ~27us."""
+        if num_rows is None:
+            num_rows = dataset.state.float_features.shape[0]
+        B = self.minibatch_size
+        S = dataset.state.float_features.shape[1]
+        A = dataset.action.shape[1]
+        packed = jnp.concatenate(
+            [
+                dataset.state.float_features.astype(jnp.float32),
+                dataset.next_state.float_features.astype(jnp.float32),
+                dataset.action.astype(jnp.float32),
+                dataset.reward.astype(jnp.float32).reshape(num_rows, 1),
+                dataset.not_terminal.astype(jnp.float32).reshape(num_rows, 1),
+                dataset.possible_next_actions_mask.astype(jnp.float32),
+            ],
+            axis=1,
+        )  # [N, 2S + 2A + 2]
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, rng):
+            def body(s, r):
+                idx = jax.random.randint(r, (B,), 0, num_rows)
+                rows = packed[idx]
+                batch = rlt.DiscreteDqnInput(
+                    state=rlt.FeatureData(float_features=rows[:, :S]),
+                    next_state=rlt.FeatureData(float_features=rows[:, S:2 * S]),
+                    action=rows[:, 2 * S:2 * S + A],
+                    next_action=rows[:, 2 * S:2 * S + A],
+                    reward=rows[:, 2 * S + A:2 * S + A + 1],
+                    time_diff=None,
+                    step=None,
+                    not_terminal=rows[:, 2 * S + A + 1:2 * S + A + 2],
+                    possible_actions_mask=rows[:, 2 * S + A + 2:],
+                    possible_next_actions_mask=rows[:, 2 * S + A + 2:],
+                )
+                return self._apply_kernel(s, batch)
+
+            return jax.lax.scan(body, state, jax.random.split(rng, num_steps))
+
+        return run
 
     # ------------------------------------------------- packed-row fast path
 
