@@ -96,6 +96,29 @@ def _mfu(tflops: float | None, peak: float) -> float | None:
     return round(100.0 * tflops / peak, 2) if tflops else None
 
 
+def two_point_rate(run_n, n1: int, n2: int, reps: int = 3) -> float:
+    """steps/s from the DIFFERENCE of two run lengths.
+
+    ``run_n(n)`` executes n steps and blocks on a device->host value fetch.
+    On this image the TPU sits behind a remote tunnel whose dispatch+fetch
+    round trip is ~25-30 ms PER SYNC — at 200-step scan calls that inflates
+    per-step time by >30%.  Timing (n2-n1) extra steps as T(n2)-T(n1)
+    cancels the constant: rate = (n2-n1)/(median T2 - median T1).  Both
+    medians use ``reps`` runs.
+    """
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_n(n1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_n(n2)
+        t2s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[reps // 2]
+    t2 = sorted(t2s)[reps // 2]
+    return (n2 - n1) / max(t2 - t1, 1e-9)
+
+
 def bench_reference_torch_cpu(num_steps: int = 300) -> float:
     """Reference-equivalent host loop: steps/s (each step = env + train)."""
     import gymnasium
@@ -258,45 +281,19 @@ _OFF_SIZES = [512, 256]
 
 
 _OFF_ROWS = 100_000   # device-resident training-table rows
-_OFF_SCAN = 200       # train steps per compiled scan call
 
 
-def prep_offline_dqn_tpu(dtype_name: str = "float32"):
-    """Double-Q DQN train steps/s at batch 4096 (prep -> closure).
-
-    The TPU loop is the production shape (training/scan_loop.py): the
-    preprocessed 100k-row table lives in HBM and each compiled call runs 200
-    train steps, each on a freshly sampled minibatch — the reference's
-    dataloader epoch without the per-step host round trip.
-    ``dtype_name``: matmul compute dtype ("float32" or "bfloat16").
-    """
+def _offline_dataset():
     import numpy as np
 
-    import jax
     import jax.numpy as jnp
 
     from reagent_tpu.core import types as rlt
-    from reagent_tpu.core.parameters import RLParameters
-    from reagent_tpu.models import FullyConnectedDQN
-    from reagent_tpu.training.dqn_trainer import DQNTrainer
-    from reagent_tpu.training.scan_loop import make_sampled_train_fn
 
-    S, A, B, N = _OFF_S, _OFF_A, _OFF_B, _OFF_ROWS
-    q_net = FullyConnectedDQN(
-        state_dim=S, action_dim=A, sizes=_OFF_SIZES,
-        activations=["leaky_relu"] * len(_OFF_SIZES),
-        compute_dtype=getattr(jnp, dtype_name),
-    )
-    trainer = DQNTrainer(
-        q_network=q_net,
-        rl=RLParameters(gamma=0.99, target_update_rate=0.1),
-        optimizer={"Adam": {"lr": 1e-3}},
-    )
-    rng = jax.random.PRNGKey(0)
-    ts = trainer.init(rng, jnp.zeros((1, S)))
+    S, A, N = _OFF_S, _OFF_A, _OFF_ROWS
     # table built host-side (numpy) — device_put only, no eager-op compiles
     g = np.random.default_rng(0)
-    dataset = rlt.DiscreteDqnInput(
+    return rlt.DiscreteDqnInput(
         state=rlt.FeatureData(
             float_features=jnp.asarray(g.normal(size=(N, S)).astype(np.float32))
         ),
@@ -312,32 +309,129 @@ def prep_offline_dqn_tpu(dtype_name: str = "float32"):
         possible_actions_mask=jnp.asarray(np.ones((N, A), np.float32)),
         possible_next_actions_mask=jnp.asarray(np.ones((N, A), np.float32)),
     )
-    run = make_sampled_train_fn(trainer, dataset, minibatch_size=B,
-                                num_steps=_OFF_SCAN)
-    compiled = run.lower(ts, jax.random.PRNGKey(1)).compile()
-    flops_per_step = _compiled_flops(compiled)
-    if flops_per_step:
-        flops_per_step /= _OFF_SCAN
-    ts, m = compiled(ts, jax.random.PRNGKey(1))  # warm
-    float(jnp.asarray(m["td_loss"])[-1])  # value fetch = true barrier
+
+
+_OFF_N1, _OFF_N2 = 200, 1000  # two-point scan lengths
+
+
+def prep_offline_dqn_tpu(dtype_name: str = "float32"):
+    """Double-Q DQN train steps/s at batch 4096, XLA scan path (prep ->
+    closure).
+
+    The TPU loop is the production shape (training/scan_loop.py): the
+    preprocessed 100k-row table lives in HBM and each compiled call runs a
+    scan of train steps, each on a freshly sampled minibatch — the
+    reference's dataloader epoch without the per-step host round trip.
+    ``dtype_name``: matmul compute dtype ("float32" or "bfloat16").
+    Timed via two_point_rate over 200- vs 1000-step scans.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training.dqn_trainer import DQNTrainer
+    from reagent_tpu.training.scan_loop import make_sampled_train_fn
+
+    S, B = _OFF_S, _OFF_B
+    q_net = FullyConnectedDQN(
+        state_dim=S, action_dim=_OFF_A, sizes=_OFF_SIZES,
+        activations=["leaky_relu"] * len(_OFF_SIZES),
+        compute_dtype=getattr(jnp, dtype_name),
+    )
+    trainer = DQNTrainer(
+        q_network=q_net,
+        rl=RLParameters(gamma=0.99, target_update_rate=0.1),
+        optimizer={"Adam": {"lr": 1e-3}},
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, S)))
+    dataset = _offline_dataset()
+    compiled = {}
+    for n in (_OFF_N1, _OFF_N2):
+        run = make_sampled_train_fn(trainer, dataset, minibatch_size=B,
+                                    num_steps=n)
+        compiled[n] = run.lower(ts, jax.random.PRNGKey(1)).compile()
+    # XLA cost analysis counts a lax.scan BODY ONCE (trip count ignored;
+    # verified empirically), so the per-call figure IS per-step flops
+    flops_per_step = _compiled_flops(compiled[_OFF_N1])
+    for n in (_OFF_N1, _OFF_N2):  # warm both executables
+        ts, m = compiled[n](ts, jax.random.PRNGKey(1))
+        float(jnp.asarray(m["td_loss"])[-1])
 
     def timed():
-        nonlocal ts, m
-        times = []
-        for k in (2, 3, 4):
-            t0 = time.perf_counter()
-            ts, m = compiled(ts, jax.random.PRNGKey(k))
-            float(jnp.asarray(m["td_loss"])[-1])
-            times.append(time.perf_counter() - t0)
-        sps = _OFF_SCAN / sorted(times)[1]
+        nonlocal ts
+
+        def run_n(n):
+            nonlocal ts
+            ts, m = compiled[n](ts, jax.random.PRNGKey(n))
+            float(jnp.asarray(m["td_loss"])[-1])  # value fetch = barrier
+
+        sps = two_point_rate(run_n, _OFF_N1, _OFF_N2)
         tflops = (flops_per_step * sps / 1e12) if flops_per_step else None
         return sps, tflops
 
     return timed
 
 
+def prep_offline_dqn_fused_tpu():
+    """Offline batch-4096 training through the GRIDDED fused Pallas kernel
+    (ops/fused_dqn_offline.py) + packed single-gather minibatch sampling —
+    the TPU-native redesign of the offline hot loop.  bf16 matmuls, block
+    1024.  -> closure -> (steps/s, analytic TFLOP/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reagent_tpu.core.parameters import RLParameters
+    from reagent_tpu.models import FullyConnectedDQN
+    from reagent_tpu.training.fused_dqn_trainer import FusedDQNTrainer
+
+    S, A, B = _OFF_S, _OFF_A, _OFF_B
+    q_net = FullyConnectedDQN(
+        state_dim=S, action_dim=A, sizes=_OFF_SIZES,
+        activations=["leaky_relu"] * len(_OFF_SIZES),
+    )
+    trainer = FusedDQNTrainer(
+        q_network=q_net,
+        rl=RLParameters(gamma=0.99, target_update_rate=0.1),
+        optimizer={"Adam": {"lr": 1e-3}},
+        minibatch_size=B, block_size=1024, matmul_dtype=jnp.bfloat16,
+        interpret=jax.default_backend() != "tpu",
+    )
+    ts = trainer.init(jax.random.PRNGKey(0), jnp.zeros((1, S)))
+    dataset = _offline_dataset()
+    runs = {
+        n: trainer.make_packed_sampled_train_fn(dataset, num_steps=n)
+        for n in (_OFF_N1, _OFF_N2)
+    }
+    for n in runs:  # warm/compile both
+        ts, m = runs[n](ts, jax.random.PRNGKey(1))
+        float(jnp.asarray(m["td_loss"])[-1])
+
+    # analytic model FLOPs (the Pallas custom call is opaque to XLA cost
+    # analysis): per step, the kernel runs 2B+B rows of forward and ~2x2B
+    # rows of backward matmul work over F = sum(in*out) MACs per row
+    F = sum(a * b for a, b in zip([S] + _OFF_SIZES, _OFF_SIZES + [A]))
+    flops_per_step = 2.0 * F * B * 7  # (2 fwd + 1 tgt fwd + 4 bwd) row-passes
+
+    def timed():
+        nonlocal ts
+
+        def run_n(n):
+            nonlocal ts
+            ts, m = runs[n](ts, jax.random.PRNGKey(n))
+            float(jnp.asarray(m["td_loss"])[-1])
+
+        sps = two_point_rate(run_n, _OFF_N1, _OFF_N2)
+        return sps, flops_per_step * sps / 1e12
+
+    return timed
+
+
 def bench_offline_dqn_tpu():
     return prep_offline_dqn_tpu()()
+
+
+
 
 
 def bench_offline_dqn_torch_cpu(num_steps: int = 25) -> float:
@@ -487,14 +581,14 @@ def prep_seq2slate_tpu(
 
     def timed():
         nonlocal ts, m
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(num_steps):
+
+        def run_n(n):
+            nonlocal ts, m
+            for _ in range(n):
                 ts, m = compiled(ts, batch)
             float(jnp.asarray(m[key]).reshape(-1)[0])
-            times.append(time.perf_counter() - t0)
-        sps = num_steps / sorted(times)[1]
+
+        sps = two_point_rate(run_n, num_steps, 3 * num_steps)
         tflops = (flops_per_step * sps / 1e12) if flops_per_step else None
         return sps, tflops
 
@@ -540,14 +634,12 @@ def prep_seq2slate_rank_tpu(num_iters: int = 20):
     int(compiled(params, state, src)[0, 0])  # warm + value barrier
 
     def timed() -> float:
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(num_iters):
+        def run_n(n):
+            for _ in range(n):
                 out = compiled(params, state, src)
             int(out[0, 0])
-            times.append(time.perf_counter() - t0)
-        return _RANK_B * num_iters / sorted(times)[1]
+
+        return _RANK_B * two_point_rate(run_n, num_iters, 3 * num_iters)
 
     return timed
 
@@ -702,14 +794,14 @@ def prep_sparse_embedding_tpu():
 
     def timed():
         nonlocal state
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(_SPE_STEPS):
+
+        def run_n(n):
+            nonlocal state
+            for _ in range(n):
                 state, loss = step(state, ids, mask, target)
             float(loss)  # value fetch = true barrier
-            times.append(time.perf_counter() - t0)
-        sps = _SPE_STEPS / sorted(times)[1]
+
+        sps = two_point_rate(run_n, _SPE_STEPS, 3 * _SPE_STEPS)
         # table traffic per step: row gather + scatter read-modify-write
         gbps = sps * 3 * _SPE_B * _SPE_L * _SPE_DIM * 4 / 1e9
         return sps, gbps
@@ -959,10 +1051,12 @@ def main():
         f_online = ex.submit(prep_online_dqn_tpu)
         f_off = ex.submit(prep_offline_dqn_tpu)
         f_off16 = ex.submit(prep_offline_dqn_tpu, "bfloat16")
+        f_off_fused = ex.submit(prep_offline_dqn_fused_tpu)
         f_s2s = ex.submit(prep_seq2slate_tpu)
         f_s2s16 = ex.submit(
             prep_seq2slate_tpu, 40, _S2S_LARGE, _S2S_LARGE_B, "bfloat16"
         )
+        f_s2s_bf16_small = ex.submit(prep_seq2slate_tpu, 40, None, None, "bfloat16")
         f_rank = ex.submit(prep_seq2slate_rank_tpu)
         f_cpe = ex.submit(prep_cpe_at_scale_tpu)
         f_sparse = ex.submit(prep_sparse_embedding_tpu)
@@ -972,12 +1066,15 @@ def main():
         )
         timed_cpe = f_cpe.result()
         timed_sparse = f_sparse.result()
+        timed_off_fused = f_off_fused.result()
 
     ours_online = timed_online()
     ours_off, off_tflops = timed_off()
     ours_off16, off16_tflops = timed_off16()
+    ours_off_fused, off_fused_tflops = timed_off_fused()
     ours_s2s, s2s_tflops = timed_s2s()
     ours_s2s16, s2s16_tflops = timed_s2s16()
+    ours_s2s_bf16s, s2s_bf16s_tflops = f_s2s_bf16_small.result()()
     ours_rank = timed_rank()
     ours_cpe = timed_cpe()
     ours_sparse, sparse_gbps = timed_sparse()
@@ -1002,6 +1099,18 @@ def main():
             "mfu_pct": _mfu(off_tflops, peak),
         },
         {
+            "metric": "offline_dqn_fused_train_steps_per_s_batch4096",
+            "value": round(ours_off_fused, 1),
+            "unit": "train steps/s (same double-Q math through the gridded "
+                    "fused Pallas kernel + packed single-gather sampling, "
+                    "bf16 matmuls)",
+            "vs_baseline": round(ours_off_fused / base["offline"], 2)
+            if base["offline"] else None,
+            "vs_xla_scan": round(ours_off_fused / ours_off, 2),
+            "achieved_tflops": round(off_fused_tflops, 3),
+            "mfu_pct": _mfu(off_fused_tflops, peak),
+        },
+        {
             "metric": "offline_dqn_bf16_train_steps_per_s_batch4096",
             "value": round(ours_off16, 1),
             "unit": "train steps/s (same shapes, bf16 matmul compute)",
@@ -1018,6 +1127,18 @@ def main():
             "vs_baseline": round(ours_s2s / base["s2s"], 2) if base["s2s"] else None,
             "achieved_tflops": round(s2s_tflops, 3) if s2s_tflops else None,
             "mfu_pct": _mfu(s2s_tflops, peak),
+        },
+        {
+            "metric": "seq2slate_bf16_train_steps_per_s",
+            "value": round(ours_s2s_bf16s, 1),
+            "unit": "train steps/s (production shape B=256/dim 256, bf16 "
+                    "matmuls — what mixed precision buys the small shape)",
+            "vs_baseline": round(ours_s2s_bf16s / base["s2s"], 2)
+            if base["s2s"] else None,
+            "vs_f32": round(ours_s2s_bf16s / ours_s2s, 2),
+            "achieved_tflops": round(s2s_bf16s_tflops, 3)
+            if s2s_bf16s_tflops else None,
+            "mfu_pct": _mfu(s2s_bf16s_tflops, peak),
         },
         {
             "metric": "seq2slate_rank_slates_per_s",
@@ -1043,7 +1164,10 @@ def main():
         "metric": "sparse_embedding_train_steps_per_s",
         "value": round(ours_sparse, 1),
         "unit": "train steps/s (10M x 64 table, batch 4096 x 50 ids, "
-                "touched-rows rowwise-Adagrad + dense head Adam)",
+                "touched-rows rowwise-Adagrad + dense head Adam; table "
+                "lane-packed to 128-wide physical rows — the remaining "
+                "cost is XLA's ~76ns/row scatter rate on v5e, which has "
+                "no SparseCore path)",
         "vs_baseline": round(ours_sparse / base["sparse"], 2)
         if base.get("sparse") else None,
         "effective_table_gbps": round(sparse_gbps, 1),
@@ -1081,8 +1205,14 @@ def main():
         **dev,
         "host_cpus": os.cpu_count(),
         "torch_threads": os.cpu_count(),
-        "ours": "median of 3 timed runs after compile; device->host value "
-                "fetch as the timing barrier",
+        "ours": "two-point timing after compile: rate = (n2-n1)/(T(n2)-"
+                "T(n1)) with 3-run medians and a device->host value fetch "
+                "as the barrier — cancels the remote-TPU tunnel's constant "
+                "~25-30 ms dispatch+fetch round trip per sync, which "
+                "single-call timing would charge to the workload (the "
+                "online workload amortizes it over 30k steps instead; the "
+                "CPE workload reports full end-to-end estimator-call "
+                "latency including those syncs, as a client would see)",
         "baselines": "torch CPU all cores; online best-of-3 / offline "
                      "best-of-2 (guards against transient host load); the "
                      "bf16-large seq2slate variant has no CPU baseline — "

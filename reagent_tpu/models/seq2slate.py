@@ -148,9 +148,9 @@ class EncoderLayer(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype,
         )(x, x)
-        x = nn.LayerNorm()(x + attn)
+        x = nn.LayerNorm(dtype=self.dtype)(x + attn)
         ff = FeedForward(self.dim_model, self.dim_feedforward, dtype=self.dtype)(x)
-        return nn.LayerNorm()(x + ff)
+        return nn.LayerNorm(dtype=self.dtype)(x + ff)
 
 
 class CachedSelfAttention(nn.Module):
@@ -232,15 +232,15 @@ class DecoderLayer(nn.Module):
         self.self_attn = CachedSelfAttention(
             self.dim_model, self.num_heads, dtype=self.dtype
         )
-        self.norm1 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
         self.cross_attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim_model,
             kernel_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype,
         )
-        self.norm2 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
         self.ff = FeedForward(self.dim_model, self.dim_feedforward, dtype=self.dtype)
-        self.norm3 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
 
     def __call__(self, tgt: Array, memory: Array, tgt_tgt_mask: Array, tgt_src_mask: Array) -> Array:
         sa = self.self_attn(tgt, mask=tgt_tgt_mask)
@@ -272,7 +272,7 @@ class PointerLastLayer(nn.Module):
         self.self_attn = CachedSelfAttention(
             self.dim_model, self.num_heads, dtype=self.dtype
         )
-        self.norm1 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
         self.q_ptr = nn.Dense(self.dim_model, kernel_init=init, dtype=self.dtype)
         self.k_ptr = nn.Dense(self.dim_model, kernel_init=init, dtype=self.dtype)
 

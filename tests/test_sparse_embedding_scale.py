@@ -14,6 +14,7 @@ from reagent_tpu.ops.sparse_embedding import (
     SparseEmbeddingState,
     dense_reference_step,
     init_sparse_embedding_state,
+    logical_table,
     make_sparse_embedding_train_step,
 )
 
@@ -67,9 +68,11 @@ def test_padded_slots_do_not_corrupt_rows():
     active_ids = set(np.asarray(ids[:, :3]).reshape(-1).tolist())
     untouched = [i for i in padded_ids if i not in active_ids]
     assert untouched, "test needs some purely-padded rows"
+    lt_new = logical_table(new_state, 64, 8)
+    lt_old = logical_table(state, 64, 8)
     np.testing.assert_array_equal(
-        np.asarray(new_state.table[jnp.asarray(untouched)]),
-        np.asarray(state.table[jnp.asarray(untouched)]),
+        np.asarray(lt_new[jnp.asarray(untouched)]),
+        np.asarray(lt_old[jnp.asarray(untouched)]),
     )
 
 
