@@ -100,8 +100,9 @@ def _slot_expectation_dp(p: np.ndarray) -> np.ndarray:
     # the buffer enumerates ordered placements: after stage k it holds up to
     # M*(M-1)*...*(M-k+1) states PER SAMPLE — tractable only for small
     # slates.  Guard explicitly rather than letting memory/time blow up
-    # (M=20, K=5 would be ~1.8M states); the default independent-slot fast
-    # path (use_expectations=False) handles production slate sizes.
+    # (M=20, K=6 is ~1.86M states = 20*19*18*17*16; K=5 is 116,280 and
+    # passes); the default independent-slot fast path
+    # (use_expectations=False) handles production slate sizes.
     states = 1
     for k in range(1, K):
         states *= max(M - k + 1, 1)

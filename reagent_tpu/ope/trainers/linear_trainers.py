@@ -233,7 +233,10 @@ class NNTrainer:
             y = y[:, None]
         d_in, d_out = x.shape[1], y.shape[1]
         if d_in == 0 or d_out == 0:
-            return
+            raise ValueError(
+                f"NNTrainer.train got a degenerate feature/target shape "
+                f"(d_in={d_in}, d_out={d_out})"
+            )
         rng = np.random.default_rng(self.seed)
         params = jax.tree.map(jnp.asarray, self._init_params(rng, d_in, d_out))
 

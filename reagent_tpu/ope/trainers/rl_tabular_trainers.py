@@ -130,8 +130,11 @@ def _mc_returns(steps: List, gamma: float, first_visit: bool):
     """Yield (state, action, return) pairs, backwards-accumulated.
 
     With ``first_visit`` only the earliest occurrence of each (s, a) in the
-    episode contributes (reference rl_tabular_trainers.py:330-360 walks the
-    log in reverse, skipping keys until their visit count drops to 1).
+    episode contributes — TEXTBOOK first-visit MC.  This deliberately
+    diverges from the reference (rl_tabular_trainers.py:330-360), whose
+    reverse walk updates every occurrence EXCEPT the earliest, so a
+    once-visited pair there never receives any update at all; we keep the
+    standard estimator instead of that quirk.
     """
     remaining: Dict = {}
     if first_visit:
@@ -186,18 +189,26 @@ class MonteCarloTrainer:
 
     def _update_policy(self, value_counts: Dict) -> bool:
         """Softmax over count-weighted Q, as the reference does; returns
-        True when no state's distribution moved more than 1e-6."""
+        True when no state's distribution moved more than 1e-6.
+
+        The policy's epsilon is mixed INTO the stored distribution
+        (p*(1-eps) + eps/A) — our TabularPolicy returns its table verbatim,
+        whereas the reference applies epsilon at action_dist read time
+        (reference rl_tabular_trainers.py:49-60); mixing here preserves the
+        exploration the MC rollouts rely on."""
         stable = True
+        eps = self.policy.epsilon
+        A = self.mdp.num_actions
         for state in self.mdp.states:
             logits = np.array(
                 [
                     value_counts.get((state, a), (0.0, 0))[0]
                     * value_counts.get((state, a), (0.0, 0))[1]
-                    for a in range(self.mdp.num_actions)
+                    for a in range(A)
                 ]
             )
             z = np.exp(logits - logits.max())
-            probs = z / z.sum()
+            probs = (z / z.sum()) * (1.0 - eps) + eps / A
             old = self.policy.action_dist(state)
             if np.max(np.abs(probs - old)) >= 1e-6:
                 stable = False

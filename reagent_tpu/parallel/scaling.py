@@ -46,21 +46,28 @@ def analytic_dp_allreduce_model(
 
     Ring all-reduce moves ``2(n-1)/n * param_bytes`` through each chip's ICI
     (reduce-scatter + all-gather), so per-step overhead is that volume over
-    the per-chip ring bandwidth plus per-hop latency; predicted efficiency is
+    the per-chip ring bandwidth plus the ring's SEQUENTIAL hop latencies:
+    ``2(n-1)`` hops on a 1-D ring; on v5e's 2-D torus (meshes beyond ~16
+    chips) the all-reduce runs per axis, ``~4(sqrt(n)-1)`` hops total.  XLA
+    may additionally switch to latency-optimal algorithms for tiny payloads,
+    so the latency term here is conservative.  Predicted efficiency is
     ``compute / (compute + allreduce)``.  This is the argument behind the
     BASELINE.md ">=80% at N>=2 hosts" target when the dryrun's virtual CPU
-    devices cannot measure it: for gradients of a few MB and step times in
-    the hundreds of microseconds, the ICI term is microseconds — efficiency
-    stays >0.95 out to pod scale.
+    devices cannot measure it: for the bench DQN (36 KB grads, ~1 ms steps)
+    the model gives >=0.94 out to 256 chips.
     """
     out: Dict[int, Dict[str, float]] = {}
     for n in device_counts:
         if n <= 1:
             out[n] = {"allreduce_s": 0.0, "predicted_efficiency": 1.0}
             continue
+        if n <= 16:  # 1-D ring
+            hops = 2.0 * (n - 1)
+        else:  # 2-D torus, per-axis rings
+            hops = 4.0 * (np.sqrt(n) - 1.0)
         ar = (
             2.0 * (n - 1) / n * param_bytes / ici_bytes_per_s
-            + hop_latency_s * float(np.ceil(np.log2(n)))
+            + hop_latency_s * float(hops)
         )
         out[n] = {
             "allreduce_s": ar,

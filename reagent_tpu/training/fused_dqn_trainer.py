@@ -233,6 +233,20 @@ class FusedDQNTrainer:
             num_rows = jax.tree_util.tree_leaves(dataset)[0].shape[0]
         B = self.minibatch_size
 
+        # same stray-leaf guard as scan_loop.make_sampled_train_fn: a leaf
+        # with the wrong leading dim would be gathered with (clamped)
+        # out-of-bounds indices and train silently on garbage
+        bad = [
+            (i, x.shape)
+            for i, x in enumerate(jax.tree_util.tree_leaves(dataset))
+            if hasattr(x, "shape") and (x.ndim < 1 or x.shape[0] != num_rows)
+        ]
+        if bad:
+            raise ValueError(
+                f"dataset leaves {bad} do not have leading dim "
+                f"num_rows={num_rows}"
+            )
+
         def gather(idx):
             return jax.tree_util.tree_map(
                 lambda x: x[idx] if hasattr(x, "shape") else x, dataset
