@@ -818,7 +818,7 @@ def prep_sparse_embedding_tpu():
     return timed
 
 
-def bench_sparse_embedding_torch_cpu(num_steps: int = 6):
+def bench_sparse_embedding_torch_cpu(num_steps: int = 10):
     """Same touched-rows rowwise-Adagrad algorithm in torch on all host
     cores (index_select gather, autograd to the gathered rows only,
     index_add_ scatter update)."""
@@ -1049,7 +1049,8 @@ def main():
     except Exception:
         base["cpe"] = None
     try:
-        base["sparse"] = bench_sparse_embedding_torch_cpu()
+        # best of 2: the 10-step torch loop is sensitive to transient load
+        base["sparse"] = max(bench_sparse_embedding_torch_cpu() for _ in range(2))
     except Exception:
         base["sparse"] = None
 

@@ -128,3 +128,28 @@ def test_sharded_table_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sh_state.table), np.asarray(ref_state.table), rtol=1e-5, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("dim", [128, 96, 256])
+def test_lane_packing_degenerate_dims(dim):
+    """dim >= 128 or dims not dividing 128 use pack=1 (plain layout) and
+    still train correctly."""
+    table_size = 64
+    state, head_apply, opt = init_sparse_embedding_state(
+        jax.random.PRNGKey(0), table_size, dim, head_hidden=16
+    )
+    assert state.table.shape == (table_size, dim)  # pack == 1
+    step = make_sparse_embedding_train_step(head_apply, opt, donate=False)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(_unique_ids_batch(table_size, B=8, L=4, rng=rng))
+    mask = jnp.ones((8, 4), bool)
+    target = jnp.asarray(rng.normal(size=(8, 1)), jnp.float32)
+    new_state, loss = step(state, ids, mask, target)
+    assert np.isfinite(float(loss))
+    # touched rows changed, logical view round-trips
+    lt = logical_table(new_state, table_size, dim)
+    assert lt.shape == (table_size, dim)
+    touched = np.asarray(ids).reshape(-1)
+    diff = np.abs(np.asarray(lt[touched]) - np.asarray(
+        logical_table(state, table_size, dim)[touched]))
+    assert diff.max() > 0
