@@ -1185,6 +1185,10 @@ def main():
     })
 
     cpe_base = base.get("cpe")
+    # MAGIC's speedup is bounded by its host tail: the point estimate and
+    # its 50 bootstrap resamples each run the reference-exact scipy SLSQP
+    # blend (51 solves), kept for bit-parity with the numpy oracle; the
+    # [N, T] device core itself is ~100x faster than the reference's.
     for est, label in (("magic", "MAGIC/WDR j=25"), ("seqdr", "sequential DR")):
         ours_t = ours_cpe[f"{est}_s"]
         ref_t = cpe_base[f"{est}_s"] if cpe_base else None

@@ -44,6 +44,11 @@ class DQNTrainerParam:
     minibatch_size: int = 512
     minibatches_per_step: int = 1
     optimizer: Dict[str, Any] = dataclasses.field(default_factory=lambda: {"Adam": {"lr": 1e-3}})
+    # run the whole update as one fused Pallas kernel (ops/fused_dqn.py /
+    # ops/fused_dqn_offline.py): requires a plain dense-MLP q-network, mse
+    # loss, Adam, and no CPE heads; ~2x the XLA step at offline batch sizes
+    use_fused_kernel: bool = False
+    block_size: Any = None  # VMEM block rows for the gridded offline kernel
 
 
 @MODEL_MANAGERS.register()
@@ -67,6 +72,8 @@ class DiscreteDQN(ModelManager):
             double_q_learning=tp.get("double_q_learning", True),
             minibatch_size=tp.get("minibatch_size", 512),
             optimizer=tp.get("optimizer", {"Adam": {"lr": 1e-3}}),
+            use_fused_kernel=tp.get("use_fused_kernel", False),
+            block_size=tp.get("block_size"),
         )
         self.rl_parameters = RLParameters(**rl_kwargs)
         self.eval_params = EvaluationParameters(
@@ -130,6 +137,28 @@ class DiscreteDQN(ModelManager):
             cpe_builder = DISCRETE_DQN_NET_BUILDERS.build(self.cpe_net_builder)
             reward_network = cpe_builder.build_q_network(state_norm, output_dim=num_actions)
             q_network_cpe = cpe_builder.build_q_network(state_norm, output_dim=num_actions)
+        if self._param.use_fused_kernel:
+            assert not self.eval_params.calc_cpe_in_training, (
+                "use_fused_kernel does not support CPE heads; set "
+                "eval_parameters.calc_cpe_in_training: false"
+            )
+            import jax
+
+            from reagent_tpu.training.fused_dqn_trainer import FusedDQNTrainer
+
+            B = self._param.minibatch_size
+            block = self._param.block_size
+            if block is None and B > 512:
+                block = 512  # stream offline-sized batches through VMEM
+            return FusedDQNTrainer(
+                q_network=q_network,
+                rl=self.rl_parameters,
+                double_q_learning=self._param.double_q_learning,
+                optimizer=self._param.optimizer,
+                minibatch_size=B,
+                block_size=block,
+                interpret=jax.default_backend() != "tpu",
+            )
         return DQNTrainer(
             emit_reporter_arrays=True,
             q_network=q_network,
@@ -166,7 +195,10 @@ class DiscreteDQN(ModelManager):
 
         state_norm = normalization_data_map[NormalizationKey.STATE]
         pre = Preprocessor(state_norm.dense_normalization_parameters)
-        wrapped = DiscreteDqnWithPreprocessor(
-            trainer.q_network, trainer_state.q_params, pre
+        q_params = (
+            trainer.to_flax_params(trainer_state)
+            if hasattr(trainer, "to_flax_params")
+            else trainer_state.q_params
         )
+        wrapped = DiscreteDqnWithPreprocessor(trainer.q_network, q_params, pre)
         return DiscreteDqnPredictorWrapper(wrapped, self._param.actions)

@@ -161,3 +161,40 @@ def test_pg_world_model_managers_construct_and_step():
     }})
     trainer = s2r.build_trainer(state_dim=4)
     assert trainer.seq2reward_network.action_dim == 2
+
+
+@pytest.mark.slow
+def test_discrete_dqn_fused_kernel_offline_e2e(cartpole_table, tmp_path):
+    """use_fused_kernel: the whole DQN update runs as one Pallas kernel
+    inside the standard offline workflow, and the serving export scores."""
+    result = identify_and_train_network(
+        input_table_spec=cartpole_table,
+        model={
+            "DiscreteDQN": {
+                "trainer_param": {
+                    "actions": ["0", "1"],
+                    "rl": {"gamma": 0.9, "target_update_rate": 0.05},
+                    "optimizer": {"Adam": {"lr": 0.001}},
+                    "minibatch_size": 512,
+                    "use_fused_kernel": True,
+                },
+                "net_builder": {
+                    "FullyConnected": {
+                        "sizes": [64, 32], "activations": ["relu", "relu"]
+                    }
+                },
+                "eval_parameters": {"calc_cpe_in_training": False},
+            }
+        },
+        num_epochs=2,
+        output_dir=str(tmp_path / "fused_out"),
+    )
+    assert np.isfinite(result.training_report.td_loss)
+    # exported artifact loads and scores
+    from reagent_tpu.prediction.predictor_wrapper import load_predictor
+
+    predictor = load_predictor(result.output_paths["default_model"])
+    names, scores = predictor.predict({i: 0.1 * i for i in range(4)})
+    scores = np.asarray(scores).reshape(-1)
+    assert list(names) == ["0", "1"]
+    assert scores.shape[-1] == 2 and np.isfinite(scores).all()
